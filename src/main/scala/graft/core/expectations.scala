@@ -1,0 +1,768 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.types._
+
+/** Declarative expectation model.
+  *
+  * Mirrors the reference hierarchy (expectations/expectation.py:259,1511,
+  * 1740,1790,2056,2312) as a sealed Scala ADT. Each map expectation compiles
+  * to a Catalyst boolean `Column` (the *unexpected* condition); each
+  * aggregate expectation contributes named aggregate `Column`s fused into
+  * ONE `df.agg` per compute domain; VALUE-type expectations run their own
+  * (small) Spark jobs. Null semantics follow SURVEY.md §1.3 exactly:
+  * unexpected = col.isNotNull && !expected  (map_metric_provider/
+  * column_condition_partial.py:275-285); success =
+  * (nonnull - unexpected)/nonnull >= mostly, vacuously true when empty
+  * (expectations/expectation.py:2027-2034,2775-2785).
+  */
+sealed trait Expectation {
+  def expectationType: String
+  def kwargs: Map[String, Any]
+  /** Spark-SQL row condition defining the compute domain
+    * (sparkdf_execution_engine.py:665-676). */
+  def rowCondition: Option[String] = None
+}
+
+object MostlyMath {
+  def success(denominator: Long, unexpected: Long, mostly: Double): Boolean =
+    if (denominator == 0) true
+    else (denominator - unexpected).toDouble / denominator >= mostly
+}
+
+// ---------------------------------------------------------------------------
+// Map expectations (row-wise boolean conditions)
+// ---------------------------------------------------------------------------
+
+sealed trait MapExpectation extends Expectation {
+  def mostly: Double
+  /** Columns forming the domain (1 for column-map, 2 for pair, N multi). */
+  def domainColumns: Seq[String]
+  /** The *unexpected* condition, evaluated over non-excluded rows.
+    * Must already embed null-guarding per the expectation's own semantics. */
+  def unexpectedCondition: Column
+  /** Rows excluded from the denominator (missing / ignore_row_if). */
+  def missingCondition: Column
+  /** Value collected into partial_unexpected_list for one unexpected row. */
+  def unexpectedValue: Column =
+    if (domainColumns.size == 1) col(domainColumns.head).cast(StringType)
+    else to_json(struct(domainColumns.map(col): _*))
+}
+
+/** Column-map expectation: expected(col) over non-null values.
+  * filterColumnIsNull=false for the null/nonnull expectations themselves
+  * (map_metric_provider.py:103). */
+sealed trait ColumnMapExpectation extends MapExpectation {
+  def column: String
+  def expected(c: Column): Column
+  def filterColumnIsNull: Boolean = true
+  final def domainColumns: Seq[String] = Seq(column)
+  def unexpectedCondition: Column =
+    if (filterColumnIsNull) col(column).isNotNull && !expected(col(column))
+    else !expected(col(column))
+  def missingCondition: Column =
+    if (filterColumnIsNull) col(column).isNull else lit(false)
+}
+
+final case class ExpectColumnValuesToBeNull(column: String, mostly: Double = 1.0,
+    override val rowCondition: Option[String] = None) extends ColumnMapExpectation {
+  val expectationType = "expect_column_values_to_be_null"
+  def kwargs = Map("column" -> column, "mostly" -> mostly)
+  override def filterColumnIsNull = false
+  def expected(c: Column): Column = c.isNull
+}
+
+final case class ExpectColumnValuesToNotBeNull(column: String, mostly: Double = 1.0,
+    override val rowCondition: Option[String] = None) extends ColumnMapExpectation {
+  val expectationType = "expect_column_values_to_not_be_null"
+  def kwargs = Map("column" -> column, "mostly" -> mostly)
+  override def filterColumnIsNull = false
+  def expected(c: Column): Column = c.isNotNull
+}
+
+/** column_values.in_set — empty set is trivially true
+  * (column_values_in_set.py:78-88). */
+final case class ExpectColumnValuesToBeInSet(column: String, valueSet: Seq[Any],
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends ColumnMapExpectation {
+  val expectationType = "expect_column_values_to_be_in_set"
+  def kwargs = Map("column" -> column, "value_set" -> valueSet, "mostly" -> mostly)
+  def expected(c: Column): Column =
+    if (valueSet.isEmpty) lit(true) else c.isin(valueSet: _*)
+}
+
+final case class ExpectColumnValuesToNotBeInSet(column: String, valueSet: Seq[Any],
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends ColumnMapExpectation {
+  val expectationType = "expect_column_values_to_not_be_in_set"
+  def kwargs = Map("column" -> column, "value_set" -> valueSet, "mostly" -> mostly)
+  def expected(c: Column): Column =
+    if (valueSet.isEmpty) lit(true) else !c.isin(valueSet: _*)
+}
+
+/** column_values.between (column_values_between.py:208-246). */
+final case class ExpectColumnValuesToBeBetween(column: String,
+    minValue: Option[Any] = None, maxValue: Option[Any] = None,
+    strictMin: Boolean = false, strictMax: Boolean = false,
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends ColumnMapExpectation {
+  require(minValue.isDefined || maxValue.isDefined,
+    "min_value and max_value cannot both be None")
+  val expectationType = "expect_column_values_to_be_between"
+  def kwargs = Map("column" -> column, "min_value" -> minValue.orNull,
+    "max_value" -> maxValue.orNull, "mostly" -> mostly)
+  def expected(c: Column): Column = {
+    val lo = minValue.map(v => if (strictMin) c > lit(v) else c >= lit(v))
+    val hi = maxValue.map(v => if (strictMax) c < lit(v) else c <= lit(v))
+    (lo.toSeq ++ hi.toSeq).reduce(_ && _)
+  }
+}
+
+final case class ExpectColumnValuesToMatchRegex(column: String, regex: String,
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends ColumnMapExpectation {
+  val expectationType = "expect_column_values_to_match_regex"
+  def kwargs = Map("column" -> column, "regex" -> regex, "mostly" -> mostly)
+  def expected(c: Column): Column = c.rlike(regex)
+}
+
+final case class ExpectColumnValuesToNotMatchRegex(column: String, regex: String,
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends ColumnMapExpectation {
+  val expectationType = "expect_column_values_to_not_match_regex"
+  def kwargs = Map("column" -> column, "regex" -> regex, "mostly" -> mostly)
+  def expected(c: Column): Column = !c.rlike(regex)
+}
+
+final case class ExpectColumnValuesToMatchRegexList(column: String,
+    regexList: Seq[String], matchOn: String = "any", mostly: Double = 1.0,
+    override val rowCondition: Option[String] = None) extends ColumnMapExpectation {
+  val expectationType = "expect_column_values_to_match_regex_list"
+  def kwargs = Map("column" -> column, "regex_list" -> regexList,
+    "match_on" -> matchOn, "mostly" -> mostly)
+  def expected(c: Column): Column = {
+    val conds = regexList.map(c.rlike)
+    if (matchOn == "all") conds.reduce(_ && _) else conds.reduce(_ || _)
+  }
+}
+
+final case class ExpectColumnValuesToNotMatchRegexList(column: String,
+    regexList: Seq[String], mostly: Double = 1.0,
+    override val rowCondition: Option[String] = None) extends ColumnMapExpectation {
+  val expectationType = "expect_column_values_to_not_match_regex_list"
+  def kwargs = Map("column" -> column, "regex_list" -> regexList, "mostly" -> mostly)
+  def expected(c: Column): Column = regexList.map(r => !c.rlike(r)).reduce(_ && _)
+}
+
+final case class ExpectColumnValuesToMatchLikePattern(column: String,
+    likePattern: String, negate: Boolean = false, mostly: Double = 1.0,
+    override val rowCondition: Option[String] = None) extends ColumnMapExpectation {
+  val expectationType =
+    if (negate) "expect_column_values_to_not_match_like_pattern"
+    else "expect_column_values_to_match_like_pattern"
+  def kwargs = Map("column" -> column, "like_pattern" -> likePattern, "mostly" -> mostly)
+  def expected(c: Column): Column = if (negate) !c.like(likePattern) else c.like(likePattern)
+}
+
+final case class ExpectColumnValuesToMatchLikePatternList(column: String,
+    likePatternList: Seq[String], matchOn: String = "any", negate: Boolean = false,
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends ColumnMapExpectation {
+  val expectationType =
+    if (negate) "expect_column_values_to_not_match_like_pattern_list"
+    else "expect_column_values_to_match_like_pattern_list"
+  def kwargs = Map("column" -> column, "like_pattern_list" -> likePatternList, "mostly" -> mostly)
+  def expected(c: Column): Column = {
+    val conds =
+      if (negate) likePatternList.map(p => !c.like(p))
+      else likePatternList.map(c.like)
+    if (negate || matchOn == "all") conds.reduce(_ && _) else conds.reduce(_ || _)
+  }
+}
+
+final case class ExpectColumnValueLengthsToBeBetween(column: String,
+    minValue: Option[Int] = None, maxValue: Option[Int] = None,
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends ColumnMapExpectation {
+  val expectationType = "expect_column_value_lengths_to_be_between"
+  def kwargs = Map("column" -> column, "min_value" -> minValue.orNull,
+    "max_value" -> maxValue.orNull, "mostly" -> mostly)
+  def expected(c: Column): Column = {
+    val l = length(c)
+    val lo = minValue.map(v => l >= lit(v))
+    val hi = maxValue.map(v => l <= lit(v))
+    (lo.toSeq ++ hi.toSeq).reduce(_ && _)
+  }
+}
+
+final case class ExpectColumnValueLengthsToEqual(column: String, value: Int,
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends ColumnMapExpectation {
+  val expectationType = "expect_column_value_lengths_to_equal"
+  def kwargs = Map("column" -> column, "value" -> value, "mostly" -> mostly)
+  def expected(c: Column): Column = length(c) === lit(value)
+}
+
+/** Window-shaped: uniqueness via partitioned count
+  * (column_values_unique.py:80-86). Null rows form their own partition but
+  * are masked by the isNotNull guard, so no pre-filter is needed. */
+final case class ExpectColumnValuesToBeUnique(column: String, mostly: Double = 1.0,
+    override val rowCondition: Option[String] = None) extends ColumnMapExpectation {
+  val expectationType = "expect_column_values_to_be_unique"
+  def kwargs = Map("column" -> column, "mostly" -> mostly)
+  def expected(c: Column): Column =
+    count(lit(1)).over(Window.partitionBy(c)) <= 1
+}
+
+/** Window-shaped monotonicity (column_values_increasing.py:44-120).
+  * The reference orders globally (Window.orderBy(lit) — single partition);
+  * we additionally accept partition/order columns so transcript-style data
+  * checks monotonicity *within* a conversation, which is both the correct
+  * semantics and shuffle-parallel. `last(_, ignoreNulls)` over the preceding
+  * frame replicates the reference's null-prefiltered `lag`. */
+final case class ExpectColumnValuesToBeIncreasing(column: String,
+    strictly: Boolean = false, partitionBy: Seq[String] = Nil,
+    orderBy: Seq[String] = Nil, mostly: Double = 1.0,
+    override val rowCondition: Option[String] = None) extends ColumnMapExpectation {
+  val expectationType = "expect_column_values_to_be_increasing"
+  def kwargs = Map("column" -> column, "strictly" -> strictly, "mostly" -> mostly)
+  def expected(c: Column): Column = MonotonicCond(c, partitionBy, orderBy, up = true, strictly)
+}
+
+final case class ExpectColumnValuesToBeDecreasing(column: String,
+    strictly: Boolean = false, partitionBy: Seq[String] = Nil,
+    orderBy: Seq[String] = Nil, mostly: Double = 1.0,
+    override val rowCondition: Option[String] = None) extends ColumnMapExpectation {
+  val expectationType = "expect_column_values_to_be_decreasing"
+  def kwargs = Map("column" -> column, "strictly" -> strictly, "mostly" -> mostly)
+  def expected(c: Column): Column = MonotonicCond(c, partitionBy, orderBy, up = false, strictly)
+}
+
+private[core] object MonotonicCond {
+  def apply(c: Column, partitionBy: Seq[String], orderBy: Seq[String],
+      up: Boolean, strictly: Boolean): Column = {
+    val ord = if (orderBy.nonEmpty) orderBy.map(col) else Seq(lit(1))
+    val base =
+      if (partitionBy.isEmpty) Window.orderBy(ord: _*) // reference's global shape
+      else Window.partitionBy(partitionBy.map(col): _*).orderBy(ord: _*)
+    val w = base.rowsBetween(Window.unboundedPreceding, -1)
+    val prev = last(c, ignoreNulls = true).over(w)
+    val cmp =
+      (up, strictly) match {
+        case (true, true) => c > prev
+        case (true, false) => c >= prev
+        case (false, true) => c < prev
+        case (false, false) => c <= prev
+      }
+    prev.isNull || cmp // first non-null value in each sequence is vacuously OK
+  }
+}
+
+final case class ExpectColumnValuesToMatchStrftimeFormat(column: String,
+    strftimeFormat: String, mostly: Double = 1.0,
+    override val rowCondition: Option[String] = None) extends ColumnMapExpectation {
+  val expectationType = "expect_column_values_to_match_strftime_format"
+  def kwargs = Map("column" -> column, "strftime_format" -> strftimeFormat, "mostly" -> mostly)
+  def expected(c: Column): Column =
+    try_to_timestamp(c, lit(Strftime.toJavaPattern(strftimeFormat))).isNotNull
+}
+
+/** strftime → java.time.DateTimeFormatter pattern translation (the reference
+  * applies Python strptime in a UDF, column_values_match_strftime_format.py:36-55;
+  * we stay in codegen'd `try_to_timestamp`). */
+object Strftime {
+  private val table = Map(
+    'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'H' -> "HH",
+    'I' -> "hh", 'M' -> "mm", 'S' -> "ss", 'f' -> "SSSSSS", 'p' -> "a",
+    'j' -> "DDD", 'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM",
+    'Z' -> "zz", 'z' -> "xx", '%' -> "%")
+  def toJavaPattern(fmt: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val ch = fmt.charAt(i)
+      if (ch == '%' && i + 1 < fmt.length) {
+        out.append(table.getOrElse(fmt.charAt(i + 1), fmt.charAt(i + 1).toString))
+        i += 2
+      } else if ("GyMLdEuQqHhKkmsSaVzOXxZ'".indexOf(ch.toInt) >= 0) {
+        out.append('\'').append(ch).append('\'') // literal chars that are pattern letters
+        i += 1
+      } else { out.append(ch); i += 1 }
+    }
+    out.toString
+  }
+}
+
+final case class ExpectColumnValuesToBeJsonParseable(column: String,
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends ColumnMapExpectation {
+  val expectationType = "expect_column_values_to_be_json_parseable"
+  def kwargs = Map("column" -> column, "mostly" -> mostly)
+  def expected(c: Column): Column = try_parse_json(c).isNotNull
+}
+
+final case class ExpectColumnValuesToBeDateutilParseable(column: String,
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends ColumnMapExpectation {
+  val expectationType = "expect_column_values_to_be_dateutil_parseable"
+  def kwargs = Map("column" -> column, "mostly" -> mostly)
+  def expected(c: Column): Column = try_to_timestamp(c).isNotNull
+}
+
+/** z-score threshold. Mean/stddev are resolved by the runner in the shared
+  * fused aggregate pass and injected as literals before the condition pass
+  * (two jobs total for the whole suite, not per expectation) —
+  * column_values_z_score.py:60-105. */
+final case class ExpectColumnValueZScoresToBeLessThan(column: String,
+    threshold: Double, doubleSided: Boolean = true, mostly: Double = 1.0,
+    override val rowCondition: Option[String] = None) extends ColumnMapExpectation {
+  val expectationType = "expect_column_value_z_scores_to_be_less_than"
+  def kwargs = Map("column" -> column, "threshold" -> threshold,
+    "double_sided" -> doubleSided, "mostly" -> mostly)
+  // placeholder; the runner rewrites via expectedWith(mean, std)
+  def expected(c: Column): Column = lit(true)
+  def expectedWith(c: Column, mean: Double, std: Double): Column = {
+    val z = (c - lit(mean)) / lit(std)
+    if (doubleSided) abs(z) < lit(threshold) else z < lit(threshold)
+  }
+}
+
+// --- column pair ------------------------------------------------------------
+
+sealed trait ColumnPairMapExpectation extends MapExpectation {
+  def columnA: String
+  def columnB: String
+  def ignoreRowIf: IgnoreRowIf
+  def expectedPair(a: Column, b: Column): Column
+  final def domainColumns: Seq[String] = Seq(columnA, columnB)
+  final def missingCondition: Column = {
+    val (a, b) = (col(columnA), col(columnB))
+    ignoreRowIf match {
+      case IgnoreRowIf.BothValuesAreMissing | IgnoreRowIf.AllValuesAreMissing =>
+        a.isNull && b.isNull
+      case IgnoreRowIf.EitherValueIsMissing | IgnoreRowIf.AnyValueIsMissing =>
+        a.isNull || b.isNull
+      case IgnoreRowIf.Neither => lit(false)
+    }
+  }
+  final def unexpectedCondition: Column =
+    !missingCondition && !expectedPair(col(columnA), col(columnB))
+}
+
+final case class ExpectColumnPairValuesToBeEqual(columnA: String, columnB: String,
+    ignoreRowIf: IgnoreRowIf = IgnoreRowIf.BothValuesAreMissing,
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends ColumnPairMapExpectation {
+  val expectationType = "expect_column_pair_values_to_be_equal"
+  def kwargs = Map("column_A" -> columnA, "column_B" -> columnB, "mostly" -> mostly)
+  def expectedPair(a: Column, b: Column): Column = a <=> b
+}
+
+final case class ExpectColumnPairValuesAToBeGreaterThanB(columnA: String,
+    columnB: String, orEqual: Boolean = false,
+    ignoreRowIf: IgnoreRowIf = IgnoreRowIf.BothValuesAreMissing,
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends ColumnPairMapExpectation {
+  val expectationType = "expect_column_pair_values_a_to_be_greater_than_b"
+  def kwargs = Map("column_A" -> columnA, "column_B" -> columnB,
+    "or_equal" -> orEqual, "mostly" -> mostly)
+  def expectedPair(a: Column, b: Column): Column = if (orEqual) a >= b else a > b
+}
+
+final case class ExpectColumnPairValuesToBeInSet(columnA: String, columnB: String,
+    valuePairs: Seq[(Any, Any)],
+    ignoreRowIf: IgnoreRowIf = IgnoreRowIf.BothValuesAreMissing,
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends ColumnPairMapExpectation {
+  val expectationType = "expect_column_pair_values_to_be_in_set"
+  def kwargs = Map("column_A" -> columnA, "column_B" -> columnB, "mostly" -> mostly)
+  def expectedPair(a: Column, b: Column): Column =
+    valuePairs.map { case (x, y) => (a <=> lit(x)) && (b <=> lit(y)) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+}
+
+// --- multicolumn -------------------------------------------------------------
+
+sealed trait MulticolumnMapExpectation extends MapExpectation {
+  def columns: Seq[String]
+  def ignoreRowIf: IgnoreRowIf
+  def expectedMulti(cs: Seq[Column]): Column
+  final def domainColumns: Seq[String] = columns
+  final def missingCondition: Column = {
+    val cs = columns.map(col)
+    ignoreRowIf match {
+      case IgnoreRowIf.AllValuesAreMissing | IgnoreRowIf.BothValuesAreMissing =>
+        cs.map(_.isNull).reduce(_ && _)
+      case IgnoreRowIf.AnyValueIsMissing | IgnoreRowIf.EitherValueIsMissing =>
+        cs.map(_.isNull).reduce(_ || _)
+      case IgnoreRowIf.Neither => lit(false)
+    }
+  }
+  final def unexpectedCondition: Column =
+    !missingCondition && !expectedMulti(columns.map(col))
+}
+
+/** compound_columns.unique (compound_columns_unique.py:187-193). */
+final case class ExpectCompoundColumnsToBeUnique(columns: Seq[String],
+    ignoreRowIf: IgnoreRowIf = IgnoreRowIf.AllValuesAreMissing,
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends MulticolumnMapExpectation {
+  val expectationType = "expect_compound_columns_to_be_unique"
+  def kwargs = Map("column_list" -> columns, "mostly" -> mostly)
+  def expectedMulti(cs: Seq[Column]): Column =
+    count(lit(1)).over(Window.partitionBy(cs: _*)) <= 1
+}
+
+/** multicolumn_sum.equal (multicolumn_sum_equal.py:41-48). */
+final case class ExpectMulticolumnSumToEqual(columns: Seq[String], sumTotal: Double,
+    ignoreRowIf: IgnoreRowIf = IgnoreRowIf.AllValuesAreMissing,
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends MulticolumnMapExpectation {
+  val expectationType = "expect_multicolumn_sum_to_equal"
+  def kwargs = Map("column_list" -> columns, "sum_total" -> sumTotal, "mostly" -> mostly)
+  def expectedMulti(cs: Seq[Column]): Column =
+    cs.map(c => coalesce(c, lit(0))).reduce(_ + _) === lit(sumTotal)
+}
+
+/** select_column_values.unique.within_record
+  * (select_column_values_unique_within_record.py:74-86). */
+final case class ExpectSelectColumnValuesToBeUniqueWithinRecord(columns: Seq[String],
+    ignoreRowIf: IgnoreRowIf = IgnoreRowIf.AllValuesAreMissing,
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends MulticolumnMapExpectation {
+  val expectationType = "expect_select_column_values_to_be_unique_within_record"
+  def kwargs = Map("column_list" -> columns, "mostly" -> mostly)
+  def expectedMulti(cs: Seq[Column]): Column = {
+    val eqAny = (for { i <- cs.indices; j <- (i + 1) until cs.size }
+      yield cs(i) <=> cs(j)).reduce(_ || _)
+    !eqAny
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Aggregate expectations (fused into one df.agg per domain)
+// ---------------------------------------------------------------------------
+
+sealed trait AggExpectation extends Expectation {
+  /** Named aggregate columns; names must be unique per expectation and are
+    * namespaced by the runner. */
+  def aggs: Seq[(String, Column)]
+  /** success + observed_value from resolved aggregate results. */
+  def validate(resolved: Map[String, Any]): (Boolean, Any)
+}
+
+/** min/max-between template (expectation.py:1587-1657): null bound = open. */
+object BetweenCheck {
+  def check(v: Any, minV: Option[Double], maxV: Option[Double],
+      strictMin: Boolean = false, strictMax: Boolean = false): Boolean = v match {
+    case null => false
+    case n: Number =>
+      val d = n.doubleValue()
+      val lo = minV.forall(m => if (strictMin) d > m else d >= m)
+      val hi = maxV.forall(m => if (strictMax) d < m else d <= m)
+      lo && hi
+    case _ => false
+  }
+}
+
+sealed abstract class ColumnAggBetween(metric: String, aggFn: Column => Column)
+    extends AggExpectation {
+  def column: String
+  def minValue: Option[Double]
+  def maxValue: Option[Double]
+  def strictMin: Boolean = false
+  def strictMax: Boolean = false
+  val expectationType = s"expect_column_${metric}_to_be_between"
+  def kwargs = Map("column" -> column, "min_value" -> minValue.orNull,
+    "max_value" -> maxValue.orNull)
+  def aggs: Seq[(String, Column)] = Seq("observed" -> aggFn(col(column)))
+  def validate(resolved: Map[String, Any]): (Boolean, Any) = {
+    val v = resolved("observed")
+    (BetweenCheck.check(v, minValue, maxValue, strictMin, strictMax), v)
+  }
+}
+
+final case class ExpectColumnMinToBeBetween(column: String,
+    minValue: Option[Double] = None, maxValue: Option[Double] = None,
+    override val strictMin: Boolean = false, override val strictMax: Boolean = false,
+    override val rowCondition: Option[String] = None)
+    extends ColumnAggBetween("min", min)
+final case class ExpectColumnMaxToBeBetween(column: String,
+    minValue: Option[Double] = None, maxValue: Option[Double] = None,
+    override val strictMin: Boolean = false, override val strictMax: Boolean = false,
+    override val rowCondition: Option[String] = None)
+    extends ColumnAggBetween("max", max)
+final case class ExpectColumnSumToBeBetween(column: String,
+    minValue: Option[Double] = None, maxValue: Option[Double] = None,
+    override val strictMin: Boolean = false, override val strictMax: Boolean = false,
+    override val rowCondition: Option[String] = None)
+    extends ColumnAggBetween("sum", sum)
+final case class ExpectColumnMeanToBeBetween(column: String,
+    minValue: Option[Double] = None, maxValue: Option[Double] = None,
+    override val strictMin: Boolean = false, override val strictMax: Boolean = false,
+    override val rowCondition: Option[String] = None)
+    extends ColumnAggBetween("mean", avg)
+final case class ExpectColumnStdevToBeBetween(column: String,
+    minValue: Option[Double] = None, maxValue: Option[Double] = None,
+    override val strictMin: Boolean = false, override val strictMax: Boolean = false,
+    override val rowCondition: Option[String] = None)
+    extends ColumnAggBetween("stdev", stddev_samp)
+final case class ExpectColumnUniqueValueCountToBeBetween(column: String,
+    minValue: Option[Double] = None, maxValue: Option[Double] = None,
+    override val rowCondition: Option[String] = None)
+    extends ColumnAggBetween("unique_value_count", c => count_distinct(c))
+
+final case class ExpectColumnProportionOfUniqueValuesToBeBetween(column: String,
+    minValue: Option[Double] = None, maxValue: Option[Double] = None,
+    override val rowCondition: Option[String] = None) extends AggExpectation {
+  val expectationType = "expect_column_proportion_of_unique_values_to_be_between"
+  def kwargs = Map("column" -> column, "min_value" -> minValue.orNull,
+    "max_value" -> maxValue.orNull)
+  def aggs = Seq(
+    "distinct" -> count_distinct(col(column)),
+    "nonnull" -> count(col(column)))
+  def validate(resolved: Map[String, Any]): (Boolean, Any) = {
+    val d = resolved("distinct").asInstanceOf[Number].doubleValue()
+    val n = resolved("nonnull").asInstanceOf[Number].doubleValue()
+    val p = if (n == 0) 0.0 else d / n
+    (BetweenCheck.check(p, minValue, maxValue), p)
+  }
+}
+
+final case class ExpectTableRowCountToBeBetween(
+    minValue: Option[Double] = None, maxValue: Option[Double] = None,
+    override val rowCondition: Option[String] = None) extends AggExpectation {
+  val expectationType = "expect_table_row_count_to_be_between"
+  def kwargs = Map("min_value" -> minValue.orNull, "max_value" -> maxValue.orNull)
+  def aggs = Seq("n" -> count(lit(1)))
+  def validate(resolved: Map[String, Any]): (Boolean, Any) = {
+    val v = resolved("n")
+    (BetweenCheck.check(v, minValue, maxValue), v)
+  }
+}
+
+final case class ExpectTableRowCountToEqual(value: Long,
+    override val rowCondition: Option[String] = None) extends AggExpectation {
+  val expectationType = "expect_table_row_count_to_equal"
+  def kwargs = Map("value" -> value)
+  def aggs = Seq("n" -> count(lit(1)))
+  def validate(resolved: Map[String, Any]): (Boolean, Any) = {
+    val v = resolved("n").asInstanceOf[Number].longValue()
+    (v == value, v)
+  }
+}
+
+// ---------------------------------------------------------------------------
+// VALUE expectations (each runs its own small job)
+// ---------------------------------------------------------------------------
+
+sealed trait ValueExpectation extends Expectation {
+  def run(df: DataFrame): Evr
+}
+
+final case class ExpectColumnMedianToBeBetween(column: String,
+    minValue: Option[Double] = None, maxValue: Option[Double] = None,
+    override val rowCondition: Option[String] = None) extends ValueExpectation {
+  val expectationType = "expect_column_median_to_be_between"
+  def kwargs = Map("column" -> column, "min_value" -> minValue.orNull,
+    "max_value" -> maxValue.orNull)
+  def run(df: DataFrame): Evr = {
+    // Exact median, GE semantics (column_median.py:95-140): avg of the two
+    // middle values for even counts — Spark's exact `percentile(_, 0.5)`
+    // interpolates identically and stays distributed (no driver collect).
+    val row = df.filter(col(column).isNotNull)
+      .agg(percentile(col(column).cast(DoubleType), lit(0.5)).as("m")).head()
+    val obs: Any = if (row.isNullAt(0)) null else row.getDouble(0)
+    Evr(expectationType, kwargs, BetweenCheck.check(obs, minValue, maxValue),
+      Map("observed_value" -> obs))
+  }
+}
+
+final case class ExpectColumnQuantileValuesToBeBetween(column: String,
+    quantiles: Seq[Double], ranges: Seq[(Option[Double], Option[Double])],
+    relativeError: Double = 1e-4,
+    override val rowCondition: Option[String] = None) extends ValueExpectation {
+  val expectationType = "expect_column_quantile_values_to_be_between"
+  def kwargs = Map("column" -> column, "quantiles" -> quantiles)
+  def run(df: DataFrame): Evr = {
+    val vals = df.stat.approxQuantile(column, quantiles.toArray, relativeError)
+    val ok = vals.zip(ranges).forall { case (v, (lo, hi)) =>
+      BetweenCheck.check(v, lo, hi)
+    }
+    Evr(expectationType, kwargs, ok,
+      Map("observed_value" -> Map("quantiles" -> quantiles, "values" -> vals.toSeq)))
+  }
+}
+
+final case class ExpectColumnMostCommonValueToBeInSet(column: String,
+    valueSet: Seq[Any], tiesOkay: Boolean = false,
+    override val rowCondition: Option[String] = None) extends ValueExpectation {
+  val expectationType = "expect_column_most_common_value_to_be_in_set"
+  def kwargs = Map("column" -> column, "value_set" -> valueSet)
+  def run(df: DataFrame): Evr = {
+    // mode(s): all values sharing the max count (column_most_common_value.py:33-55)
+    val counts = df.filter(col(column).isNotNull).groupBy(col(column))
+      .agg(count(lit(1)).as("n")).orderBy(col("n").desc).limit(100).collect()
+    val modes =
+      if (counts.isEmpty) Seq.empty[Any]
+      else { val m = counts.head.getLong(1); counts.filter(_.getLong(1) == m).map(_.get(0)).toSeq }
+    val set = valueSet.toSet
+    val ok =
+      if (modes.isEmpty) false
+      else if (tiesOkay) modes.exists(set.contains)
+      else modes.forall(set.contains)
+    Evr(expectationType, kwargs, ok, Map("observed_value" -> modes))
+  }
+}
+
+sealed abstract class DistinctSetExpectation(op: String) extends ValueExpectation {
+  def column: String
+  def valueSet: Seq[Any]
+  val expectationType = s"expect_column_distinct_values_to_${op}_set"
+  def kwargs = Map("column" -> column, "value_set" -> valueSet)
+  def run(df: DataFrame): Evr = {
+    val observed = df.filter(col(column).isNotNull).select(col(column))
+      .distinct().collect().map(_.get(0)).toSet
+    val want = valueSet.toSet
+    val ok = op match {
+      case "be_in" => observed.subsetOf(want)
+      case "contain" => want.subsetOf(observed)
+      case "equal" => observed == want
+    }
+    Evr(expectationType, kwargs, ok,
+      Map("observed_value" -> observed.toSeq.map(String.valueOf).sorted))
+  }
+}
+final case class ExpectColumnDistinctValuesToBeInSet(column: String, valueSet: Seq[Any],
+    override val rowCondition: Option[String] = None) extends DistinctSetExpectation("be_in")
+final case class ExpectColumnDistinctValuesToContainSet(column: String, valueSet: Seq[Any],
+    override val rowCondition: Option[String] = None) extends DistinctSetExpectation("contain")
+final case class ExpectColumnDistinctValuesToEqualSet(column: String, valueSet: Seq[Any],
+    override val rowCondition: Option[String] = None) extends DistinctSetExpectation("equal")
+
+/** KL divergence (expect_column_kl_divergence_to_be_less_than.py:110):
+  * categorical path — observed value_counts vs a given partition_object of
+  * (values, weights). Missing observed values get 0 weight (∞ divergence
+  * unless the partition covers all observed values). */
+final case class ExpectColumnKlDivergenceToBeLessThan(column: String,
+    partitionValues: Seq[Any], partitionWeights: Seq[Double], threshold: Double,
+    override val rowCondition: Option[String] = None) extends ValueExpectation {
+  val expectationType = "expect_column_kl_divergence_to_be_less_than"
+  def kwargs = Map("column" -> column, "threshold" -> threshold)
+  def run(df: DataFrame): Evr = {
+    val counts = df.filter(col(column).isNotNull).groupBy(col(column))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val expectedW = partitionValues.map(String.valueOf).zip(partitionWeights).toMap
+    val observedOutside = counts.keySet.diff(expectedW.keySet).nonEmpty
+    val kl: Double =
+      if (total == 0) Double.NaN
+      else if (observedOutside) Double.PositiveInfinity
+      else expectedW.map { case (v, q) =>
+        val p = counts.getOrElse(v, 0L) / total
+        if (p == 0.0) 0.0 else p * math.log(p / q)
+      }.sum
+    val ok = !kl.isNaN && kl < threshold
+    Evr(expectationType, kwargs, ok, Map("observed_value" -> kl))
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Schema / table-shape expectations (driver-side over df.schema)
+// ---------------------------------------------------------------------------
+
+sealed trait SchemaExpectation extends Expectation {
+  def run(schema: StructType): Evr
+}
+
+final case class ExpectColumnToExist(column: String, columnIndex: Option[Int] = None)
+    extends SchemaExpectation {
+  val expectationType = "expect_column_to_exist"
+  def kwargs = Map("column" -> column)
+  def run(schema: StructType): Evr = {
+    val idx = schema.fieldNames.indexOf(column)
+    val ok = idx >= 0 && columnIndex.forall(_ == idx)
+    Evr(expectationType, kwargs, ok, Map.empty)
+  }
+}
+
+final case class ExpectColumnValuesToBeOfType(column: String, typeName: String)
+    extends SchemaExpectation {
+  val expectationType = "expect_column_values_to_be_of_type"
+  def kwargs = Map("column" -> column, "type_" -> typeName)
+  def run(schema: StructType): Evr = {
+    val actual = schema.find(_.name == column).map(_.dataType.getClass.getSimpleName)
+    val ok = actual.exists(a => a.equalsIgnoreCase(typeName) ||
+      a.equalsIgnoreCase(typeName + "$"))
+    Evr(expectationType, kwargs, ok, Map("observed_value" -> actual.orNull))
+  }
+}
+
+final case class ExpectColumnValuesToBeInTypeList(column: String, typeList: Seq[String])
+    extends SchemaExpectation {
+  val expectationType = "expect_column_values_to_be_in_type_list"
+  def kwargs = Map("column" -> column, "type_list" -> typeList)
+  def run(schema: StructType): Evr = {
+    val actual = schema.find(_.name == column).map(_.dataType.getClass.getSimpleName)
+    val ok = actual.exists(a => typeList.exists(t =>
+      a.equalsIgnoreCase(t) || a.equalsIgnoreCase(t + "$")))
+    Evr(expectationType, kwargs, ok, Map("observed_value" -> actual.orNull))
+  }
+}
+
+final case class ExpectTableColumnCountToBeBetween(minValue: Option[Int] = None,
+    maxValue: Option[Int] = None) extends SchemaExpectation {
+  val expectationType = "expect_table_column_count_to_be_between"
+  def kwargs = Map("min_value" -> minValue.orNull, "max_value" -> maxValue.orNull)
+  def run(schema: StructType): Evr = {
+    val n = schema.length
+    Evr(expectationType, kwargs,
+      BetweenCheck.check(n, minValue.map(_.toDouble), maxValue.map(_.toDouble)),
+      Map("observed_value" -> n))
+  }
+}
+
+final case class ExpectTableColumnCountToEqual(value: Int) extends SchemaExpectation {
+  val expectationType = "expect_table_column_count_to_equal"
+  def kwargs = Map("value" -> value)
+  def run(schema: StructType): Evr =
+    Evr(expectationType, kwargs, schema.length == value,
+      Map("observed_value" -> schema.length))
+}
+
+final case class ExpectTableColumnsToMatchOrderedList(columnList: Seq[String])
+    extends SchemaExpectation {
+  val expectationType = "expect_table_columns_to_match_ordered_list"
+  def kwargs = Map("column_list" -> columnList)
+  def run(schema: StructType): Evr =
+    Evr(expectationType, kwargs, schema.fieldNames.toSeq == columnList,
+      Map("observed_value" -> schema.fieldNames.toSeq))
+}
+
+final case class ExpectTableColumnsToMatchSet(columnSet: Seq[String],
+    exactMatch: Boolean = true) extends SchemaExpectation {
+  val expectationType = "expect_table_columns_to_match_set"
+  def kwargs = Map("column_set" -> columnSet, "exact_match" -> exactMatch)
+  def run(schema: StructType): Evr = {
+    val actual = schema.fieldNames.toSet
+    val want = columnSet.toSet
+    val ok = if (exactMatch) actual == want else want.subsetOf(actual)
+    Evr(expectationType, kwargs, ok, Map("observed_value" -> actual.toSeq.sorted))
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Query expectations (SQL passthrough, §2.9)
+// ---------------------------------------------------------------------------
+
+/** success ⟺ the query returns zero rows
+  * (core/unexpected_rows_expectation.py:37-110). `{batch}` is substituted
+  * with the registered batch view name. */
+final case class UnexpectedRowsExpectation(unexpectedRowsQuery: String)
+    extends Expectation {
+  val expectationType = "unexpected_rows_expectation"
+  def kwargs = Map("unexpected_rows_query" -> unexpectedRowsQuery)
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between `Column` and Catalyst `Expression` for Spark 4.x, where
+  * the converters are `private[sql]`. Lives under org.apache.spark.sql only
+  * to gain package visibility; contains no Spark-internal logic. */
+object Shims {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}

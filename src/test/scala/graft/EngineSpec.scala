@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+/** Engine semantics ported from the reference's golden corpus shapes
+  * (FIXTURES.md §2): null handling (§1.3), mostly math, vacuous truth,
+  * result-format fields, caps, window conditions, pair ignore_row_if. */
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Canonical fixture: x dense ints, z ints with nulls, alpha strings. */
+  lazy val df: DataFrame = {
+    val rows = (1 to 10).map { i =>
+      (i, if (i <= 5) Some(i) else None,
+        ('a' + i - 1).toChar.toString, if (i % 2 == 0) "even" else "odd")
+    }
+    rows.toDF("x", "z", "alpha", "parity")
+  }
+
+  def one(e: Expectation, format: ResultFormat = ResultFormat.Summary): Evr =
+    Graft.validate(df, Suite("t", Seq(e)), format).results.head
+
+  test("null semantics: element/missing/nonnull counts (§1.3)") {
+    val r = one(ExpectColumnValuesToBeBetween("z", Some(1), Some(3)))
+    assert(r.result("element_count") == 10L)
+    assert(r.result("missing_count") == 5L)
+    assert(r.result("unexpected_count") == 2L) // 4, 5
+    assert(!r.success)
+    // count identity: element = missing + nonnull
+    assert(r.result("element_count").asInstanceOf[Long] ==
+      r.result("missing_count").asInstanceOf[Long] + 5L)
+  }
+
+  test("mostly threshold: (nonnull - unexpected)/nonnull >= mostly") {
+    assert(one(ExpectColumnValuesToBeBetween("z", Some(1), Some(3), mostly = 0.6)).success)
+    assert(!one(ExpectColumnValuesToBeBetween("z", Some(1), Some(3), mostly = 0.61)).success)
+  }
+
+  test("vacuous truth on empty domain") {
+    val empty = df.filter("x > 100")
+    val r = Graft.validate(empty,
+      Suite("t", Seq(ExpectColumnValuesToBeBetween("x", Some(1), Some(2))))).results.head
+    assert(r.success)
+    assert(r.result("element_count") == 0L)
+    assert(r.result("unexpected_percent") == null)
+  }
+
+  test("to_be_null / not_be_null use unfiltered denominator") {
+    val r = one(ExpectColumnValuesToBeNull("z", mostly = 0.5))
+    assert(r.success) // 5/10 nulls >= 0.5
+    assert(r.result("missing_count") == 0L)
+    val r2 = one(ExpectColumnValuesToNotBeNull("z", mostly = 0.5))
+    assert(r2.success)
+    assert(r2.result("unexpected_count") == 5L)
+  }
+
+  test("result format BOOLEAN_ONLY strips result fields") {
+    val r = one(ExpectColumnValuesToBeBetween("x", Some(1), Some(5)),
+      ResultFormat.BooleanOnly)
+    assert(r.result.isEmpty)
+  }
+
+  test("BASIC/SUMMARY fields and partial_unexpected caps") {
+    val big = (1 to 100).toDF("x")
+    val r = Graft.validate(big,
+      Suite("t", Seq(ExpectColumnValuesToBeBetween("x", Some(1), Some(10)))),
+      ResultFormat.Summary).results.head
+    assert(r.result("unexpected_count") == 90L)
+    val partial = r.result("partial_unexpected_list").asInstanceOf[Seq[_]]
+    assert(partial.size == 20) // MAX partial cap
+    val counts = r.result("partial_unexpected_counts").asInstanceOf[Seq[_]]
+    assert(counts.nonEmpty)
+  }
+
+  test("COMPLETE unexpected_list capped at 200 and index list present") {
+    val big = (1 to 400).toDF("x")
+    val sr = new SuiteRunner(ResultFormat.Complete, idColumns = Seq("x"))
+      .run(big, Suite("t", Seq(ExpectColumnValuesToBeBetween("x", Some(1), Some(10)))))
+    val r = sr.results.head
+    assert(r.result("unexpected_list").asInstanceOf[Seq[_]].size == 200)
+    assert(r.result("unexpected_index_list").asInstanceOf[Seq[_]].size == 200)
+  }
+
+  test("in_set with empty set is trivially true") {
+    assert(one(ExpectColumnValuesToBeInSet("alpha", Nil)).success)
+  }
+
+  test("unique window condition: duplicates unexpected, nulls masked") {
+    val d = Seq(Some(1), Some(1), Some(2), None, None).toDF("v")
+    val r = Graft.validate(d,
+      Suite("t", Seq(ExpectColumnValuesToBeUnique("v")))).results.head
+    assert(r.result("unexpected_count") == 2L)
+    assert(r.result("missing_count") == 2L)
+    assert(!r.success)
+  }
+
+  test("increasing within partition, null-skipping lag") {
+    val d = Seq(
+      ("c1", 1, Some(10)), ("c1", 2, None), ("c1", 3, Some(9)),
+      ("c2", 1, Some(1)), ("c2", 2, Some(2))).toDF("conv", "idx", "v")
+    val r = Graft.validate(d, Suite("t", Seq(
+      ExpectColumnValuesToBeIncreasing("v",
+        partitionBy = Seq("conv"), orderBy = Seq("idx"))))).results.head
+    assert(r.result("unexpected_count") == 1L) // 9 after 10 (null skipped)
+  }
+
+  test("pair ignore_row_if both_values_are_missing") {
+    val d = Seq(
+      (Some(2), Some(1)), (Some(1), Some(2)),
+      (None, Some(1)), (None, None)).toDF("a", "b")
+    val r = Graft.validate(d, Suite("t", Seq(
+      ExpectColumnPairValuesAToBeGreaterThanB("a", "b")))).results.head
+    assert(r.result("element_count") == 4L)
+    assert(r.result("missing_count") == 1L) // only the all-null row
+    // (1,2) fails; (null,1) -> a>b is null -> not counted unexpected
+    assert(r.result("unexpected_count") == 1L)
+  }
+
+  test("multicolumn sum equal with coalesce-null-to-zero") {
+    val d = Seq((1, 2, 3), (2, 2, 2), (6, 0, 0)).toDF("c1", "c2", "c3")
+    val r = Graft.validate(d, Suite("t", Seq(
+      ExpectMulticolumnSumToEqual(Seq("c1", "c2", "c3"), 6.0)))).results.head
+    assert(r.success)
+  }
+
+  test("z-score two-phase resolution") {
+    val d = (1 to 99).map(_.toDouble).toDF("v")
+      .union(Seq(1000.0).toDF("v"))
+    val r = Graft.validate(d, Suite("t", Seq(
+      ExpectColumnValueZScoresToBeLessThan("v", 3.0, mostly = 0.99)))).results.head
+    assert(r.result("unexpected_count") == 1L) // the outlier
+    assert(r.success)
+  }
+
+  test("aggregate expectations share the fused pass and validate bounds") {
+    val sr = Graft.validate(df, Suite("t", Seq(
+      ExpectColumnMeanToBeBetween("x", Some(5.0), Some(6.0)),
+      ExpectColumnSumToBeBetween("x", Some(55.0), Some(55.0)),
+      ExpectColumnStdevToBeBetween("x", Some(2.0), Some(4.0)),
+      ExpectTableRowCountToBeBetween(Some(10.0), Some(10.0)))))
+    assert(sr.success)
+    assert(sr.statistics.successfulExpectations == 4)
+  }
+
+  test("schema expectations") {
+    val sr = Graft.validate(df, Suite("t", Seq(
+      ExpectColumnToExist("x"),
+      ExpectColumnValuesToBeOfType("x", "IntegerType"),
+      ExpectTableColumnCountToEqual(4),
+      ExpectTableColumnsToMatchOrderedList(Seq("x", "z", "alpha", "parity")),
+      ExpectTableColumnsToMatchSet(Seq("alpha", "parity", "x", "z")))))
+    assert(sr.success)
+  }
+
+  test("distinct set expectations") {
+    val sr = Graft.validate(df, Suite("t", Seq(
+      ExpectColumnDistinctValuesToBeInSet("parity", Seq("even", "odd", "other")),
+      ExpectColumnDistinctValuesToContainSet("parity", Seq("even")),
+      ExpectColumnDistinctValuesToEqualSet("parity", Seq("even", "odd")))))
+    assert(sr.success)
+  }
+
+  test("median and quantiles") {
+    val r = one(ExpectColumnMedianToBeBetween("x", Some(5.5), Some(5.5)))
+    assert(r.success)
+    assert(r.result("observed_value") == 5.5)
+    val rq = one(ExpectColumnQuantileValuesToBeBetween("x",
+      Seq(0.0, 0.5, 1.0),
+      Seq((Some(0.0), Some(2.0)), (Some(4.0), Some(7.0)), (Some(9.0), Some(10.0)))))
+    assert(rq.success)
+  }
+
+  test("KL divergence categorical") {
+    val r = one(ExpectColumnKlDivergenceToBeLessThan("parity",
+      Seq("even", "odd"), Seq(0.5, 0.5), 0.01))
+    assert(r.success)
+    assert(r.result("observed_value").asInstanceOf[Double] < 1e-12)
+    val r2 = one(ExpectColumnKlDivergenceToBeLessThan("parity",
+      Seq("even"), Seq(1.0), 0.5))
+    assert(!r2.success) // observed value outside partition → ∞
+  }
+
+  test("row_condition defines the compute domain") {
+    val r = Graft.validate(df, Suite("t", Seq(
+      ExpectColumnValuesToBeBetween("x", Some(6), Some(10),
+        rowCondition = Some("parity = 'even'"))))).results.head
+    assert(r.result("element_count") == 5L)
+    assert(r.result("unexpected_count") == 2L) // 2, 4
+  }
+
+  test("failed expectation isolates, suite statistics correct") {
+    val sr = Graft.validate(df, Suite("t", Seq(
+      ExpectColumnValuesToBeBetween("nonexistent_col", Some(1), Some(2)),
+      ExpectColumnValuesToBeBetween("x", Some(1), Some(10)))))
+    assert(!sr.results.head.success)
+    assert(sr.results.head.exception.isDefined)
+    assert(sr.results(1).success)
+    assert(sr.statistics.successPercent.contains(50.0))
+  }
+
+  test("strftime format translation") {
+    val d = Seq("2024-01-02 03:04:05", "not-a-date").toDF("s")
+    val r = Graft.validate(d, Suite("t", Seq(
+      ExpectColumnValuesToMatchStrftimeFormat("s", "%Y-%m-%d %H:%M:%S")))).results.head
+    assert(r.result("unexpected_count") == 1L)
+  }
+
+  test("unexpected rows query expectation") {
+    val sr = Graft.validate(df, Suite("t", Seq(
+      UnexpectedRowsExpectation("SELECT * FROM {batch} WHERE x > 100"),
+      UnexpectedRowsExpectation("SELECT * FROM {batch} WHERE x > 5"))))
+    assert(sr.results.head.success)
+    assert(!sr.results(1).success)
+    assert(sr.results(1).result("observed_value") == 5)
+  }
+}

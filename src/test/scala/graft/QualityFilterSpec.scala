@@ -1,0 +1,126 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.transcripts.{QualityFilter, Transcripts, Turn}
+
+/** Hand-labeled keep/drop + scrub cases for the quality-filter pipeline
+  * (FIXTURES.md §3). */
+class QualityFilterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  def run(turns: Seq[Turn]): Map[(String, Int), org.apache.spark.sql.Row] = {
+    val df = QualityFilter(turns.toDF())
+    df.collect().map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx")) -> r).toMap
+  }
+
+  val goodText = "we discussed the project plan with many more details today"
+
+  test("clean English conversation keeps") {
+    val rows = run(Seq(
+      Turn("c1", 0, "system", goodText, null, ts(0)),
+      Turn("c1", 1, "user", "please check the latest results and the team agreed quickly", null, ts(1)),
+      Turn("c1", 2, "assistant", goodText, null, ts(2))))
+    assert(rows.values.forall(_.getAs[Boolean]("keep")))
+    assert(rows.values.forall(r => r.getAs[String]("scrubbed_text") == r.getAs[String]("text")))
+  }
+
+  test("email is scrubbed, turn kept, pii flagged") {
+    val t = s"$goodText contact me at user42@example.com"
+    val rows = run(Seq(Turn("c1", 0, "system", t, null, ts(0))))
+    val r = rows(("c1", 0))
+    assert(r.getAs[Boolean]("pii_found"))
+    assert(r.getAs[Boolean]("email_found"))
+    assert(r.getAs[String]("scrubbed_text") == s"$goodText contact me at [EMAIL]")
+    assert(r.getAs[Boolean]("keep"))
+  }
+
+  test("phone and ssn scrub exact") {
+    val t = s"$goodText call 555-123-4567 my ssn is 219-09-9999"
+    val r = run(Seq(Turn("c1", 0, "system", t, null, ts(0))))(("c1", 0))
+    assert(r.getAs[String]("scrubbed_text") ==
+      s"$goodText call [PHONE] my ssn is [SSN]")
+    assert(r.getAs[Boolean]("phone_found") && r.getAs[Boolean]("ssn_found"))
+  }
+
+  test("profanity drops and is redacted") {
+    val t = s"$goodText damn it"
+    val r = run(Seq(Turn("c1", 0, "system", t, null, ts(0))))(("c1", 0))
+    assert(r.getAs[Boolean]("tox_found"))
+    assert(!r.getAs[Boolean]("keep"))
+    assert(r.getAs[String]("scrubbed_text") == s"$goodText [REDACTED] it")
+  }
+
+  test("non-English drops via langid + ppl") {
+    val r = run(Seq(Turn("c1", 0, "system",
+      "der die das und nicht ich sie wir haben sein werden", null, ts(0))))(("c1", 0))
+    assert(!r.getAs[Boolean]("lang_ok"))
+    assert(!r.getAs[Boolean]("ppl_ok"))
+    assert(!r.getAs[Boolean]("keep"))
+  }
+
+  test("repetition drops") {
+    val r = run(Seq(Turn("c1", 0, "system",
+      "again again again again again again again again again again", null,
+      ts(0))))(("c1", 0))
+    assert(!r.getAs[Boolean]("rep_ok"))
+    assert(!r.getAs[Boolean]("keep"))
+  }
+
+  test("symbol noise and empty drop") {
+    val rows = run(Seq(
+      Turn("c1", 0, "system", "!!! ### $$$ %%% ^^^ &&&", null, ts(0)),
+      Turn("c1", 1, "user", "", null, ts(1))))
+    assert(!rows(("c1", 0)).getAs[Boolean]("symbol_ok"))
+    assert(!rows(("c1", 1)).getAs[Boolean]("len_ok"))
+    assert(rows.values.forall(!_.getAs[Boolean]("keep")))
+  }
+
+  test("role sequence: first turn must be system; no duplicate roles except tool") {
+    val rows = run(Seq(
+      Turn("c1", 0, "user", goodText, null, ts(0)), // bad: not system
+      Turn("c1", 1, "assistant", goodText, null, ts(1)),
+      Turn("c1", 2, "assistant", goodText, null, ts(2)), // bad: duplicate
+      Turn("c1", 3, "tool", goodText, "checkout", ts(3)),
+      Turn("c1", 4, "tool", goodText, "checkout", ts(4)), // ok: tool streak
+      Turn("c1", 5, "operator", goodText, null, ts(5)))) // bad: invalid role
+    assert(!rows(("c1", 0)).getAs[Boolean]("role_seq_ok"))
+    assert(rows(("c1", 1)).getAs[Boolean]("role_seq_ok"))
+    assert(!rows(("c1", 2)).getAs[Boolean]("role_seq_ok"))
+    assert(rows(("c1", 3)).getAs[Boolean]("role_seq_ok"))
+    assert(rows(("c1", 4)).getAs[Boolean]("role_seq_ok"))
+    assert(!rows(("c1", 5)).getAs[Boolean]("role_seq_ok"))
+  }
+
+  test("ppl scoring is exact (multiples of 0.5 sum exactly)") {
+    // "the quick brown fox jumps": -1.0 + 4*-2.5 = -11.0; avg = -2.2
+    val r = run(Seq(Turn("c1", 0, "system",
+      "the quick brown fox jumps", null, ts(0))))(("c1", 0))
+    assert(r.getAs[Double]("avg_logprob") == -11.0 / 5)
+  }
+
+  test("synthesized transcripts: deterministic, ordered, conv-unique") {
+    val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+    val n = t.count()
+    assert(n == 1000)
+    assert(t.select("conv_id", "turn_idx").distinct().count() == n)
+    val again = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+    assert(t.exceptAll(again).isEmpty)
+  }
+
+  test("salted conv stats match unsalted groupBy") {
+    val filtered = QualityFilter(Transcripts.fromEvents(spark, "/root/testdata/sf0.001"))
+    val salted = QualityFilter.convStatsSalted(filtered, 8)
+      .orderBy("conv_id").collect()
+    val plain = filtered.groupBy("conv_id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_turns"))
+      .orderBy("conv_id").collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+}
