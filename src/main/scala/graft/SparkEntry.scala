@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, DedupQueries, TextQueries}
 import graft.transcripts.{QualityFilter, Transcripts}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,9 +13,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ DedupQueries.queries ++ TextQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check. */
-  def oracleSql: Map[String, String] = CoreQueries.oracles
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles
 }

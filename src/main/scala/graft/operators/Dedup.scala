@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All hashing is md5-based so results are engine-independent and exactly
+  * reproducible by the DuckDB oracle. Scale notes:
+  *  - exact dedup: one hash-shuffle on the text digest (not the text),
+  *    so shuffle volume is 32 bytes/row regardless of document size;
+  *  - MinHash+LSH: signatures/bands computed map-side per document, a
+  *    single shuffle on (band_idx, band_key); candidate verification is
+  *    per-bucket, so cost scales with collisions, not n².
+  */
+object Dedup {
+
+  /** Whitespace-collapsed lowercase normalization. */
+  def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Exact dedup: group by content digest, keep min id.
+    * GE has no dedup operator; nearest primitive is compound uniqueness
+    * (compound_columns_unique.py:187-193) — this is its group-reduce dual. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(normText(col(textCol))).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word n-gram shingles (degenerate docs → whole-text shingle). */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val w = split(normText(c), " ")
+    val grams = transform(sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*))
+    array_distinct(when(size(w) >= n, grams).otherwise(array(normText(c))))
+  }
+
+  /** MinHash signature: k independent hash functions realized as
+    * lexicographic minima of salted md5 digests. */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    array((0 until k).map(j =>
+      array_min(transform(shinglesCol, s => md5(concat(lit(s"$j:"), s))))): _*)
+
+  /** MinHash LSH near-duplicate pairs with exact n-gram-Jaccard
+    * verification. k hashes split into `bands` bands; docs sharing any
+    * band key become candidates; candidates are verified with exact
+    * Jaccard over distinct shingle sets and filtered at `threshold`. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val withSig = df
+      .withColumn("__sh", shingles(col(textCol)))
+      .withColumn("__sig", minhashSignature(col("__sh"), k))
+    val bandKeys = array((0 until bands).map(b =>
+      md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+        element_at(col("__sig"), b * rowsPerBand + r + 1)): _*))): _*)
+    val exploded = withSig.select(col(idCol).as("doc"), col("__sh"),
+      posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+    val a = exploded.toDF("doc_a", "sh_a", "band_idx", "band_key")
+    val b = exploded.toDF("doc_b", "sh_b", "band_idx", "band_key")
+    val cand = a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) -
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+    cand.withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 60-bit token hash from the md5 hex prefix (cross-engine exact). */
+  def tokenHash60(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast(LongType)
+
+  private val SimhashBits = 60
+
+  /** SimHash fingerprint over word tokens: bit i of the fingerprint is the
+    * majority vote of bit i across token hashes. */
+  def simhash(textCol: Column): Column = {
+    val hs = transform(split(normText(textCol), " "), w => tokenHash60(w))
+    val n = size(hs)
+    (0 until SimhashBits).map { i =>
+      val ones = size(filter(hs, h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
+      when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: band the 60-bit fingerprint into 4×15-bit
+    * LSH keys, verify candidates by Hamming distance. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val withFp = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("fp"))
+    val bandKeys = array((0 until 4).map(b =>
+      shiftright(col("fp"), b * 15).bitwiseAND(lit(32767L))): _*)
+    val exploded = withFp.select(col("doc"), col("fp"),
+      posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+    val a = exploded.toDF("doc_a", "fp_a", "band_idx", "band_key")
+    val b = exploded.toDF("doc_b", "fp_b", "band_idx", "band_key")
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast(IntegerType).as("hamming"))
+  }
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup + similarity-search queries over documents/embeddings, each with a
+  * DuckDB oracle generated from the same constants. Near-duplicates are
+  * planted deterministically (id+100000 copies with/without a small tail)
+  * so the detectors have non-trivial positives to find. */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Near-dup plant: every 50th doc gets a copy with a 3-word tail. */
+  private def augDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.unionByName(d.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" extra tail words"))))
+  }
+  private val augDocsSql =
+    """docs AS (SELECT * FROM documents UNION ALL
+      |  SELECT doc_id + 100000, text || ' extra tail words', lang, source, n_chars
+      |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin
+
+  /** Exact-dup plant: every 50th doc gets an identical copy. */
+  private def augDocsExact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.unionByName(d.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000L))
+  }
+
+  /** Embedding near-dup plant: every 100th vector duplicated. */
+  private def augEmbs(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    e.unionByName(e.filter(col("vec_id") % 100 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000L))
+  }
+  private val augEmbsSql =
+    """vecs AS (SELECT * FROM embeddings UNION ALL
+      |  SELECT vec_id + 100000, embedding, label FROM embeddings WHERE vec_id % 100 = 0)""".stripMargin
+
+  // --- oracle SQL fragments ---------------------------------------------------
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private val K = 12
+  private val Bands = 4
+
+  private val minhashOracle: String = {
+    val sigExprs = (0 until K).map(j =>
+      s"list_min(list_transform(s, x -> md5('$j:' || x)))").mkString("[", ", ", "]")
+    s"""WITH $augDocsSql,
+normd AS (SELECT doc_id, string_split($normSql, ' ') AS w, $normSql AS norm FROM docs),
+sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+  THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+  ELSE [norm] END) AS s FROM normd),
+sig AS (SELECT doc_id, $sigExprs AS g FROM sh),
+bands AS (SELECT doc_id, b, md5(g[3*b+1] || '|' || g[3*b+2] || '|' || g[3*b+3]) AS bk
+  FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS b) t),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+j AS (SELECT c.doc_a, c.doc_b,
+  CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+    / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) AS jaccard
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+  }
+
+  private val simhashFpSql: String = {
+    val terms = (0 until 60).map(i =>
+      s"CASE WHEN 2 * len(list_filter(hs, h -> (h >> $i) & 1 = 1)) > len(hs) THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""(SELECT doc_id, ($terms) AS fp FROM (
+  SELECT doc_id, list_transform(string_split($normSql, ' '),
+    t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs FROM docs) hh)"""
+  }
+
+  private val simhashFpOracle: String =
+    s"WITH docs AS (SELECT * FROM documents) SELECT doc_id, fp FROM $simhashFpSql ff ORDER BY doc_id"
+
+  private val simhashPairsOracle: String =
+    s"""WITH $augDocsSql,
+fps AS (SELECT * FROM $simhashFpSql ff),
+bands AS (SELECT doc_id, fp, b, (fp >> (15 * b)) & 32767 AS bk
+  FROM fps, (SELECT unnest(generate_series(0, 3)) AS b) t),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fa, b.fp AS fb
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
+
+  // ---------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(augDocsExact(s, dir), "text", "doc_id")
+        .orderBy("keep_id")),
+    "q15_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(augDocs(s, dir), "doc_id", "text", K, Bands, 0.5)
+        .orderBy("doc_a", "doc_b")),
+    "q16_dedup_simhash_fp" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    "q17_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(augDocs(s, dir), "doc_id", "text", 6)
+        .orderBy("doc_a", "doc_b")),
+    "q18_dedup_embedding" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(augEmbs(s, dir), 0.95)
+        .orderBy("vec_a", "vec_b")),
+    "q19_sim_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0), 5)
+        .orderBy("query_id", "rank")
+    }),
+    "q20_sim_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0), 3)
+        .orderBy("query_id", "rank")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q14_dedup_exact" ->
+      s"""WITH docs AS (SELECT * FROM documents UNION ALL
+         |  SELECT doc_id + 200000, text, lang, source, n_chars FROM documents WHERE doc_id % 50 = 0)
+         |SELECT md5($normSql) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+         |FROM docs GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q15_dedup_minhash" -> minhashOracle,
+    "q16_dedup_simhash_fp" -> simhashFpOracle,
+    "q17_dedup_simhash_pairs" -> simhashPairsOracle,
+    "q18_dedup_embedding" ->
+      s"""WITH $augEmbsSql,
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
+    "q19_sim_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  ${cosSql("qv", "e.embedding")} AS cos
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q20_sim_lsh" -> {
+      def bucket(v: String) = (0 until 8).map(i =>
+        s"CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |  CAST(${bucket("embedding")} AS INT) AS bucket FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |  CAST(${bucket("embedding")} AS INT) AS bucket FROM embeddings),
+         |scored AS (SELECT q.query_id, c.neighbor_id, ${cosSql("qv", "cv")} AS cos
+         |  FROM c JOIN q USING (bucket) WHERE c.neighbor_id <> q.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    })
+}

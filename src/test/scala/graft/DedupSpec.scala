@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextFunctions
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup groups identical normalized text") {
+    val d = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exactDedup(d, "text", "doc_id").orderBy("keep_id").collect()
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds near-dups, rejects unrelated") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val d = Seq(
+      (1L, base), (2L, base + " tail"),
+      (3L, "one two three four five six seven eight nine ten " * 3))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", 12, 4, 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(pairs.head.getDouble(2) > 0.8)
+  }
+
+  test("simhash: identical text → identical fp; near text → small hamming") {
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val fp = d.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(3L)))
+  }
+
+  test("LSH top-k ⊆ brute-force ranking within bucket") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val brute = Similarity.bruteForceTopK(e, q, 50).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(e, q, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(lsh.nonEmpty)
+    // every LSH neighbor is a real vector pair; rank order is by cosine desc
+    val byQ = Similarity.lshTopK(e, q, 3).collect()
+      .groupBy(_.getLong(0)).values
+    byQ.foreach { rows =>
+      val coss = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(coss.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    assert(brute.nonEmpty)
+  }
+
+  test("cosine of identical vectors ≈ 1, orthogonal = 0") {
+    val d = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(d, 0.99).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 3L)))
+  }
+
+  test("langid votes and fingerprint determinism") {
+    val d = Seq((1L, "the table of value and row"), (2L, "el la de que y"),
+      (3L, "der die das und nicht"), (4L, "xyzzy plugh")).toDF("id", "text")
+    val r = d.select(col("id"), TextFunctions.langId(col("text"))).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "unknown"))
+    val f1 = d.select(TextFunctions.fingerprint(col("text"))).collect().map(_.getLong(0)).toSeq
+    val f2 = d.select(TextFunctions.fingerprint(col("text"))).collect().map(_.getLong(0)).toSeq
+    assert(f1 == f2)
+    assert(f1.distinct.size == 4)
+  }
+}
