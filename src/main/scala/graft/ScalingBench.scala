@@ -1,0 +1,42 @@
+package graft
+
+import graft.transcripts.QualityFilter
+
+/** North-rule scaling evidence: the identical quality-filter job on the
+  * identical input at two parallelism levels (local[8] = N, local[32] = 4N,
+  * shuffle partitions scaled proportionally), reporting throughput at both
+  * plus scaling efficiency = thr(4N) / (4 · thr(N)). Acceptance ≥ 0.8
+  * (BASELINE.md). Run: sbt "runMain graft.ScalingBench [sfDir]". */
+object ScalingBench {
+
+  def run(cpus: Int, sfDir: String, rep: Int): (Long, Double) = {
+    val spark = Bench.session(cpus.toString)
+    // 3 waves of tasks per core: lets the scheduler load-balance uneven
+    // partitions, which a single wave (partitions == cores) cannot.
+    spark.conf.set("spark.sql.shuffle.partitions", (cpus * 3).toString)
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      // warmup pass (JIT + parquet footer caches)
+      Bench.consume(QualityFilter(
+        Bench.replicatedTranscripts(spark, sfDir, 1)))
+      val transcripts = Bench.replicatedTranscripts(spark, sfDir, rep)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val turns = transcripts.count()
+      val secs = Bench.timedMin(2)(Bench.consume(QualityFilter(transcripts)))
+      transcripts.unpersist()
+      (turns, secs)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val rep = sys.env.getOrElse("SPARK_GRAFT_REP", "100").toInt
+    val (turnsN, secsN) = run(8, sfDir, rep)
+    val (turns4N, secs4N) = run(32, sfDir, rep)
+    val thrN = turnsN / secsN
+    val thr4N = turns4N / secs4N
+    val eff = thr4N / (4 * thrN)
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.4f,"unit":"ratio","turns":$turnsN,"secs_local8":$secsN%.3f,"secs_local32":$secs4N%.3f,"turns_per_sec_local8":$thrN%.1f,"turns_per_sec_local32":$thr4N%.1f,"sf":"$sfDir"}""")
+  }
+}

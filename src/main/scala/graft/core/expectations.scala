@@ -670,6 +670,21 @@ final case class ExpectColumnKlDivergenceToBeLessThan(column: String,
   }
 }
 
+/** Cross-table row-count comparison — the reference's only multi-table
+  * operator (expect_table_row_count_to_equal_other_table.py:48,166): two
+  * independent counts compared on the driver, no join. */
+final case class ExpectTableRowCountToEqualOtherTable(
+    other: DataFrame, otherName: String) extends ValueExpectation {
+  val expectationType = "expect_table_row_count_to_equal_other_table"
+  def kwargs = Map("other_table_name" -> otherName)
+  def run(df: DataFrame): Evr = {
+    val n = df.count()
+    val m = other.count()
+    Evr(expectationType, kwargs, n == m,
+      Map("observed_value" -> n, "other_table_row_count" -> m))
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Schema / table-shape expectations (driver-side over df.schema)
 // ---------------------------------------------------------------------------

@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Multimodal
+
+/** Multimodal plumbing queries. The engine computes over the BINARY payload
+  * column (real byte-level plumbing); the oracle reproduces the numbers
+  * from the source text, which is valid because payload = utf-8(text) and
+  * the documents are ASCII. */
+object MultimodalQueries {
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaFromDocuments(s.read.parquet(s"$dir/documents.parquet"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(media(s, dir)).orderBy("media_id")),
+    "q26_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(media(s, dir), 100).orderBy("media_id")))
+
+  val oracles: Map[String, String] = Map(
+    "q25_media_features" ->
+      """SELECT doc_id AS media_id, CAST(length(text) AS INT) AS n_bytes,
+        | list_transform(generate_series(1, 16), b ->
+        |   CAST(len(list_filter(generate_series(1, length(text)),
+        |        i -> ord(substr(text, i, 1)) % 16 = b - 1)) AS BIGINT)) AS feature
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q26_media_frames" ->
+      """SELECT doc_id AS media_id,
+        | CAST(len(generate_series(1, length(text), 100)) AS INT) AS n_frames,
+        | md5(list_aggregate(list_transform(generate_series(1, length(text), 100),
+        |   i -> substr(text, i, 1)), 'string_agg', '')) AS sample_digest
+        |FROM documents ORDER BY media_id""".stripMargin)
+}

@@ -134,7 +134,14 @@ object QualityFilter {
           PhoneRe, "[PHONE]"),
         ToxRe, "[REDACTED]")
 
-    df.withColumn("n_tokens", nTokens)
+    // Two projections: flags once, then derived columns referencing the flag
+    // COLUMNS. Inlining the flag expressions into `keep`/`pii_found` doubles
+    // the generated code for the hot projection (every regex/split expands
+    // again), which measured ~5× slower cold on 2M rows (JIT of the giant
+    // generated method dominates). CollapseProject keeps the split because
+    // each flag is referenced more than once.
+    val flagged = df
+      .withColumn("n_tokens", nTokens)
       .withColumn("len_ok", lenOk)
       .withColumn("symbol_ok", symbolOk)
       .withColumn("rep_ok", repOk)
@@ -142,12 +149,14 @@ object QualityFilter {
       .withColumn("email_found", emailF)
       .withColumn("phone_found", phoneF)
       .withColumn("ssn_found", ssnF)
-      .withColumn("pii_found", emailF || phoneF || ssnF)
       .withColumn("tox_found", toxF)
       .withColumn("scrubbed_text", scrubbed)
+    flagged
+      .withColumn("pii_found",
+        col("email_found") || col("phone_found") || col("ssn_found"))
       .withColumn("keep",
-        col("lang_ok") && col("ppl_ok") && lenOk && symbolOk && repOk &&
-          roleSeqOk && !toxF)
+        col("lang_ok") && col("ppl_ok") && col("len_ok") && col("symbol_ok") &&
+          col("rep_ok") && col("role_seq_ok") && !col("tox_found"))
   }
 
   /** Full pipeline: transcripts in → per-turn flags + scrubbed text + keep. */

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.transcripts.{Checkpoint, QualityFilter, Transcripts}
+
+class CheckpointSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def freshDir(): String =
+    Files.createTempDirectory("graft_ckpt").toString
+
+  lazy val transcripts = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+
+  test("crash mid-run, resume completes, result equals single-shot") {
+    val dir = freshDir()
+    // crash after 3 of 8 buckets
+    intercept[RuntimeException] {
+      Checkpoint.runResumable(transcripts, dir, buckets = 8,
+        inputPath = "sf0.001", failAfterBuckets = 3)
+    }
+    val afterCrash = Checkpoint.committedBuckets(dir)
+    assert(afterCrash.size == 3)
+    // resume
+    val report = Checkpoint.runResumable(transcripts, dir, buckets = 8,
+      inputPath = "sf0.001")
+    assert(report.skipped.size == 3)
+    assert(report.processed.size == 5)
+    val resumed = Checkpoint.readCommitted(spark, dir)
+    val oneShot = QualityFilter(transcripts)
+    assert(resumed.count() == oneShot.count())
+    assert(resumed.select("conv_id", "turn_idx", "keep", "scrubbed_text")
+      .exceptAll(oneShot.select("conv_id", "turn_idx", "keep", "scrubbed_text"))
+      .isEmpty)
+  }
+
+  test("completed run re-runs as a no-op; lineage metrics are consistent") {
+    val dir = freshDir()
+    val r1 = Checkpoint.runResumable(transcripts, dir, buckets = 4, inputPath = "sf0.001")
+    assert(r1.processed == Seq(0, 1, 2, 3))
+    val r2 = Checkpoint.runResumable(transcripts, dir, buckets = 4, inputPath = "sf0.001")
+    assert(r2.processed.isEmpty)
+    assert(r2.skipped == Seq(0, 1, 2, 3))
+    val lineage = Checkpoint.committedBuckets(dir)
+    assert(lineage.values.map(_.rowsIn).sum == transcripts.count())
+    val kept = QualityFilter(transcripts).filter("keep").count()
+    assert(lineage.values.map(_.rowsKept).sum == kept)
+    assert(lineage.values.forall(_.inputPath == "sf0.001"))
+  }
+}
