@@ -64,7 +64,7 @@ object Bench {
     consume(QualityFilter(Transcripts.fromEvents(spark, sfDir)).limit(1000))
 
     val transcripts = replicatedTranscripts(spark, sfDir, Replication)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val turns = transcripts.count()
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()

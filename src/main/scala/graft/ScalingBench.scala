@@ -20,7 +20,7 @@ object ScalingBench {
       Bench.consume(QualityFilter(
         Bench.replicatedTranscripts(spark, sfDir, 1)))
       val transcripts = Bench.replicatedTranscripts(spark, sfDir, rep)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val turns = transcripts.count()
       val secs = Bench.timedMin(2)(Bench.consume(QualityFilter(transcripts)))
       transcripts.unpersist()
@@ -32,11 +32,12 @@ object ScalingBench {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val rep = sys.env.getOrElse("SPARK_GRAFT_REP", "100").toInt
-    val (turnsN, secsN) = run(8, sfDir, rep)
-    val (turns4N, secs4N) = run(32, sfDir, rep)
+    val n = sys.env.getOrElse("SPARK_GRAFT_N", "8").toInt
+    val (turnsN, secsN) = run(n, sfDir, rep)
+    val (turns4N, secs4N) = run(n * 4, sfDir, rep)
     val thrN = turnsN / secsN
     val thr4N = turns4N / secs4N
     val eff = thr4N / (4 * thrN)
-    println(f"""{"metric":"scaling_efficiency","value":$eff%.4f,"unit":"ratio","turns":$turnsN,"secs_local8":$secsN%.3f,"secs_local32":$secs4N%.3f,"turns_per_sec_local8":$thrN%.1f,"turns_per_sec_local32":$thr4N%.1f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.4f,"unit":"ratio","n_cores":$n,"turns":$turnsN,"secs_localN":$secsN%.3f,"secs_local4N":$secs4N%.3f,"turns_per_sec_localN":$thrN%.1f,"turns_per_sec_local4N":$thr4N%.1f,"sf":"$sfDir"}""")
   }
 }

@@ -1,0 +1,84 @@
+package graft.functions
+
+import java.util.regex.{Matcher, Pattern}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled-regex PII/toxicity scrubber as ONE expression: per row it
+  * produces (email_found, phone_found, ssn_found, tox_found,
+  * scrubbed_text) in a single evaluation.
+  *
+  * Semantically identical to chaining rlike×4 + regexp_replace×4 (it uses
+  * the same java.util.regex engine and the same replacement order:
+  * email → ssn → phone → tox), but:
+  *  - Matchers are ThreadLocal and reset per row — no Matcher allocation;
+  *  - replacement runs only when the corresponding find() hit, so the
+  *    no-PII majority of rows allocates nothing beyond the output;
+  * the chained-column formulation allocates 4 intermediate copies of every
+  * row's text, which makes the pipeline DRAM-bandwidth-bound and caps
+  * multi-core scaling (measured 0.5 efficiency at 8→32 threads).
+  */
+case class ScrubFlags(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  import ScrubFlags._
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("email_found", BooleanType, nullable = false),
+    StructField("phone_found", BooleanType, nullable = false),
+    StructField("ssn_found", BooleanType, nullable = false),
+    StructField("tox_found", BooleanType, nullable = false),
+    StructField("scrubbed_text", StringType, nullable = true)))
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val out = new Array[Any](5)
+    if (v == null) {
+      out(0) = false; out(1) = false; out(2) = false; out(3) = false
+      out(4) = null
+      return InternalRow.fromSeq(out.toIndexedSeq)
+    }
+    val text = v.asInstanceOf[UTF8String].toString
+    val ms = matchers.get()
+    val email = ms(0).reset(text).find()
+    val ssn = ms(1).reset(text).find()
+    val phone = ms(2).reset(text).find()
+    val tox = ms(3).reset(text).find()
+    var s = text
+    // replacement order mirrors QualityFilter: email → ssn → phone → tox
+    if (email) s = ms(0).reset(s).replaceAll("[EMAIL]")
+    if (ssn) s = ms(1).reset(s).replaceAll("[SSN]")
+    if (phone) s = ms(2).reset(s).replaceAll("[PHONE]")
+    if (tox) s = ms(3).reset(s).replaceAll("[REDACTED]")
+    out(0) = email; out(1) = phone; out(2) = ssn; out(3) = tox
+    out(4) = if (s eq text) v else UTF8String.fromString(s)
+    InternalRow.fromSeq(out.toIndexedSeq)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ScrubFlags =
+    copy(child = newChild)
+  override def prettyName: String = "scrub_flags"
+}
+
+object ScrubFlags {
+  import graft.transcripts.QualityFilter._
+
+  private val patterns: Array[Pattern] =
+    Array(EmailRe, SsnRe, PhoneRe, ToxRe).map(Pattern.compile)
+
+  private val matchers = new ThreadLocal[Array[Matcher]] {
+    override def initialValue(): Array[Matcher] = patterns.map(_.matcher(""))
+  }
+
+  def scrub_flags(c: Column): Column = {
+    import org.apache.spark.sql.graftshim.Shims
+    Shims.toColumn(ScrubFlags(Shims.toExpression(c)))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass token statistics: (n_tokens, n_distinct_tokens,
+  * n_symbol_chars) — exactly equivalent to
+  *   size(split(trim(text), " +")), size(array_distinct(split(...))),
+  *   length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+  * but in one scan without materializing token arrays or a scrubbed copy.
+  * Tokens are maximal runs of non-space characters (the corpora contain no
+  * other whitespace; trim/split-on-' +' semantics). */
+case class TokenStats(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("n_symbols", IntegerType, nullable = false)))
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val out = new Array[Any](3)
+    if (v == null) {
+      out(0) = 0; out(1) = 0; out(2) = 0
+      return InternalRow.fromSeq(out.toIndexedSeq)
+    }
+    val text = v.asInstanceOf[UTF8String].toString
+    val len = text.length
+    var nTokens = 0
+    var nSymbols = 0
+    var tokenStart = -1
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i <= len) {
+      val c = if (i < len) text.charAt(i) else ' '
+      if (c != ' ' && i < len) {
+        if (tokenStart < 0) tokenStart = i
+        val alnum = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9')
+        if (!alnum) nSymbols += 1
+      } else if (tokenStart >= 0) {
+        nTokens += 1
+        seen.add(text.substring(tokenStart, i))
+        tokenStart = -1
+      }
+      i += 1
+    }
+    out(0) = nTokens
+    out(1) = seen.size
+    out(2) = nSymbols
+    InternalRow.fromSeq(out.toIndexedSeq)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+  override def prettyName: String = "token_stats"
+}
+
+object TokenStats {
+  def token_stats(c: Column): Column = {
+    import org.apache.spark.sql.graftshim.Shims
+    Shims.toColumn(TokenStats(Shims.toExpression(c)))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.MapExpectation
+import graft.transcripts.QualityFilter
+
+/** Structured-Streaming validation. The reference is strictly batch
+  * (SURVEY.md §1.1: no readStream/writeStream anywhere); this extends the
+  * same expectation semantics to streams:
+  *
+  *  - `validateStream`: per-event-time-window EVR metrics — each map
+  *    expectation's unexpected/missing counts aggregate inside a watermarked
+  *    tumbling window, so late data is bounded and state is evictable.
+  *  - `roleSeqStateful`: the one rule that needs cross-row order
+  *    (role-sequence validity) runs as `flatMapGroupsWithState` keyed by
+  *    conv_id, carrying (last_turn_idx, last_role) per conversation —
+  *    the streaming analogue of the batch lag window.
+  *  - `qualityFilterStream`: all stateless quality-filter columns (langid,
+  *    ppl, heuristics, scrub) applied to a stream; role_seq is left to the
+  *    stateful operator.
+  */
+object StreamingValidate {
+
+  /** Windowed suite metrics for map expectations over a stream. */
+  def validateStream(stream: DataFrame, exps: Seq[(String, MapExpectation)],
+      tsCol: String, watermarkDelay: String, windowDur: String): DataFrame = {
+    val aggs = exps.flatMap { case (name, e) =>
+      Seq(
+        sum(when(e.unexpectedCondition, 1L).otherwise(0L)).as(s"${name}_unexpected"),
+        sum(when(e.missingCondition, 1L).otherwise(0L)).as(s"${name}_missing"))
+    }
+    stream
+      .withColumn(tsCol, col(tsCol).cast("timestamp")) // NTZ parquet → event time
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("element_count"), aggs: _*)
+  }
+
+  final case class TurnKey(conv_id: String, turn_idx: Int, role: String)
+  final case class RoleState(lastIdx: Int, lastRole: String)
+  final case class RoleSeqOut(conv_id: String, turn_idx: Int, role_seq_ok: Boolean)
+
+  /** Stateful per-conversation role-sequence validity. Within a micro-batch
+    * the group is sorted by turn_idx; state carries the last seen turn so
+    * conversations spanning micro-batches stay correct. */
+  def roleSeqStateful(turns: Dataset[TurnKey]): Dataset[RoleSeqOut] = {
+    import turns.sparkSession.implicits._
+    turns.groupByKey(_.conv_id)
+      .flatMapGroupsWithState[RoleState, RoleSeqOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[TurnKey], state: GroupState[RoleState]) =>
+          val sorted = it.toSeq.sortBy(_.turn_idx)
+          var prev = state.getOption
+          val out = sorted.map { t =>
+            val ok = QualityFilter.AllowedRoles.contains(t.role) &&
+              (t.turn_idx != 0 || t.role == "system") &&
+              prev.forall(p => t.role != p.lastRole || t.role == "tool")
+            prev = Some(RoleState(t.turn_idx, t.role))
+            RoleSeqOut(t.conv_id, t.turn_idx, ok)
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Stateless quality-filter columns on a stream (no lag window). */
+  def qualityFilterStream(stream: DataFrame): DataFrame = {
+    val scored = QualityFilter.withLangPpl(stream)
+    // withRules without the role-sequence window: recompute its stateless parts
+    QualityFilter.withRulesStateless(scored)
+  }
+}

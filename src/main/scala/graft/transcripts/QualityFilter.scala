@@ -66,11 +66,25 @@ object QualityFilter {
   val ToxRe = "\\bdamn\\b"
   val AllowedRoles = Seq("system", "user", "assistant", "tool")
 
-  /** Stage 1: langid + unigram log-prob scoring in one mapPartitions pass
-    * over the broadcast models (north star: "batched hash lookups via
-    * mapPartitions over a broadcast trie"). Adds lang_ok, ppl_ok,
+  /** Stage 1: langid + unigram log-prob scoring. Default path is the native
+    * Catalyst expression (graft.functions.LangPplScore — single in-place
+    * pass, no object boundary); the mapPartitions-over-broadcast variant
+    * below is semantically identical (spec-enforced) and remains for
+    * workloads needing arbitrary JVM models. Adds lang_ok, ppl_ok,
     * avg_logprob. */
   def withLangPpl(df: DataFrame): DataFrame = {
+    val score = graft.functions.LangPplScore.lang_ppl_score(col("text"))
+    df.withColumn("__score", score)
+      .withColumn("lang_ok", col("__score.en_hits") >= lit(MinStopwordHits))
+      .withColumn("ppl_ok", col("__score.avg_logprob") >= lit(PplThreshold))
+      .withColumn("avg_logprob", col("__score.avg_logprob"))
+      .drop("__score")
+  }
+
+  /** mapPartitions formulation of stage 1 (hash lookups against broadcast
+    * models, batched per partition — the shape a KenLM-style trie scorer
+    * would use). Kept equivalent to `withLangPpl` by QualityFilterSpec. */
+  def withLangPplMapPartitions(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val bcVocab = spark.sparkContext.broadcast(unigramLogProb)
     val bcStop = spark.sparkContext.broadcast(enStopwords)
@@ -100,60 +114,54 @@ object QualityFilter {
     }(Encoders.row(outSchema))
   }
 
-  /** Stage 2: heuristic rules, role-sequence window, scrub, keep. */
-  def withRules(df: DataFrame): DataFrame = {
-    val text = col("text")
-    val trimmed = trim(text)
-    val toks = split(trimmed, " +")
-    val nTokens = when(trimmed === "", lit(0)).otherwise(size(toks))
-    val lenOk = nTokens.between(3, 64) && length(text) <= lit(500)
-    val symRatio = when(length(text) === 0, lit(1.0)).otherwise(
-      length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast(DoubleType) /
-        length(text).cast(DoubleType))
-    val symbolOk = symRatio <= lit(0.25)
-    val distinctRatio = when(nTokens === 0, lit(0.0)).otherwise(
-      size(array_distinct(toks)).cast(DoubleType) / nTokens.cast(DoubleType))
-    val repOk = nTokens < lit(8) || distinctRatio >= lit(0.5)
+  /** Stage 2a: all stateless rule columns (heuristics, PII/toxicity flags,
+    * scrub) — usable unchanged on a streaming DataFrame. */
+  def withRulesStateless(df: DataFrame): DataFrame = {
+    // Single-pass native expressions: TokenStats replaces split +
+    // array_distinct + regexp_replace-based symbol counting; ScrubFlags
+    // replaces rlike×4 + regexp_replace×4. The column-chained formulation
+    // allocates several intermediate copies of every text, which made the
+    // pipeline DRAM-bandwidth-bound (0.5 scaling efficiency at 8→32
+    // threads). Derived flags reference the struct COLUMNS so the expensive
+    // expressions evaluate exactly once per row (CollapseProject keeps
+    // multi-referenced non-cheap aliases materialized).
+    import graft.functions.ScrubFlags.scrub_flags
+    import graft.functions.TokenStats.token_stats
+    val withStructs = df
+      .withColumn("__ts", token_stats(col("text")))
+      .withColumn("__scrub", scrub_flags(col("text")))
+    val nTok = col("__ts.n_tokens")
+    val textLen = length(col("text"))
+    val symRatio = when(textLen === 0, lit(1.0)).otherwise(
+      col("__ts.n_symbols").cast(DoubleType) / textLen.cast(DoubleType))
+    val distinctRatio = when(nTok === 0, lit(0.0)).otherwise(
+      col("__ts.n_distinct").cast(DoubleType) / nTok.cast(DoubleType))
+    withStructs
+      .withColumn("n_tokens", nTok)
+      .withColumn("len_ok", nTok.between(3, 64) && textLen <= lit(500))
+      .withColumn("symbol_ok", symRatio <= lit(0.25))
+      .withColumn("rep_ok", nTok < lit(8) || distinctRatio >= lit(0.5))
+      .withColumn("email_found", col("__scrub.email_found"))
+      .withColumn("phone_found", col("__scrub.phone_found"))
+      .withColumn("ssn_found", col("__scrub.ssn_found"))
+      .withColumn("tox_found", col("__scrub.tox_found"))
+      .withColumn("scrubbed_text", col("__scrub.scrubbed_text"))
+      .withColumn("pii_found",
+        col("email_found") || col("phone_found") || col("ssn_found"))
+      .drop("__ts", "__scrub")
+  }
 
+  /** Stage 2b: role-sequence window + final keep label (batch only — the
+    * lag window needs the whole conversation; streams use
+    * graft.streaming.StreamingValidate.roleSeqStateful instead). */
+  def withRules(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
     val prevRole = lag(col("role"), 1).over(w)
     val roleSeqOk = col("role").isin(AllowedRoles: _*) &&
       (col("turn_idx") =!= 0 || col("role") === "system") &&
       (prevRole.isNull || col("role") =!= prevRole || col("role") === "tool")
-
-    val emailF = text.rlike(EmailRe)
-    val phoneF = text.rlike(PhoneRe)
-    val ssnF = text.rlike(SsnRe)
-    val toxF = text.rlike(ToxRe)
-    val scrubbed =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(text, EmailRe, "[EMAIL]"),
-            SsnRe, "[SSN]"),
-          PhoneRe, "[PHONE]"),
-        ToxRe, "[REDACTED]")
-
-    // Two projections: flags once, then derived columns referencing the flag
-    // COLUMNS. Inlining the flag expressions into `keep`/`pii_found` doubles
-    // the generated code for the hot projection (every regex/split expands
-    // again), which measured ~5× slower cold on 2M rows (JIT of the giant
-    // generated method dominates). CollapseProject keeps the split because
-    // each flag is referenced more than once.
-    val flagged = df
-      .withColumn("n_tokens", nTokens)
-      .withColumn("len_ok", lenOk)
-      .withColumn("symbol_ok", symbolOk)
-      .withColumn("rep_ok", repOk)
+    withRulesStateless(df)
       .withColumn("role_seq_ok", roleSeqOk)
-      .withColumn("email_found", emailF)
-      .withColumn("phone_found", phoneF)
-      .withColumn("ssn_found", ssnF)
-      .withColumn("tox_found", toxF)
-      .withColumn("scrubbed_text", scrubbed)
-    flagged
-      .withColumn("pii_found",
-        col("email_found") || col("phone_found") || col("ssn_found"))
       .withColumn("keep",
         col("lang_ok") && col("ppl_ok") && col("len_ok") && col("symbol_ok") &&
           col("rep_ok") && col("role_seq_ok") && !col("tox_found"))

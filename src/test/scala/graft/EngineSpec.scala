@@ -221,6 +221,32 @@ class EngineSpec extends AnyFunSuite {
     assert(r.result("unexpected_count") == 1L)
   }
 
+  test("row-condition mini-DSL parses the reference grammar") {
+    assert(df.filter(RowConditionDsl.toColumn("""col("x") > 5""")).count() == 5)
+    assert(df.filter(RowConditionDsl.toColumn("""col("parity") == "even"""")).count() == 5)
+    assert(df.filter(RowConditionDsl.toColumn("""col("z").notNull()""")).count() == 5)
+    assert(df.filter(RowConditionDsl.toColumn("""col("x") != 1""")).count() == 9)
+    intercept[IllegalArgumentException] {
+      RowConditionDsl.toColumn("""col("x") > 5 AND col("x") < 7""")
+    }
+  }
+
+  test("json schema validator subset") {
+    import graft.functions.JsonSchema
+    val sch = """{"type":"object","required":["k"],"properties":{"k":{"type":"integer","minimum":0}}}"""
+    assert(JsonSchema.validates("""{"k": 3}""", sch))
+    assert(!JsonSchema.validates("""{"k": -1}""", sch))
+    assert(!JsonSchema.validates("""{"k": "s"}""", sch))
+    assert(!JsonSchema.validates("""{"j": 3}""", sch))
+    assert(!JsonSchema.validates("""{"k": 3}}""", sch)) // trailing token
+    assert(JsonSchema.validates("""[1,2]""", """{"type":"array","items":{"type":"integer"}}"""))
+    assert(!JsonSchema.validates("""[1,"x"]""", """{"type":"array","items":{"type":"integer"}}"""))
+    assert(JsonSchema.validates(""""ab"""", """{"type":"string","minLength":2,"maxLength":3}"""))
+    assert(!JsonSchema.validates(""""a"""", """{"type":"string","minLength":2}"""))
+    assert(JsonSchema.validates("2", """{"enum":[1,2,3]}"""))
+    assert(!JsonSchema.validates("5", """{"enum":[1,2,3]}"""))
+  }
+
   test("unexpected rows query expectation") {
     val sr = Graft.validate(df, Suite("t", Seq(
       UnexpectedRowsExpectation("SELECT * FROM {batch} WHERE x > 100"),

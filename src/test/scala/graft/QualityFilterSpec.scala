@@ -104,6 +104,14 @@ class QualityFilterSpec extends AnyFunSuite {
     assert(r.getAs[Double]("avg_logprob") == -11.0 / 5)
   }
 
+  test("expression scorer ≡ mapPartitions scorer (lang_ok, ppl_ok, avg_logprob)") {
+    val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+    val cols = Seq("conv_id", "turn_idx", "lang_ok", "ppl_ok", "avg_logprob")
+    val a = QualityFilter.withLangPpl(t).select(cols.head, cols.tail: _*)
+    val b = QualityFilter.withLangPplMapPartitions(t).select(cols.head, cols.tail: _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("synthesized transcripts: deterministic, ordered, conv-unique") {
     val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
     val n = t.count()

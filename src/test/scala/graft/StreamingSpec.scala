@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.{ExpectColumnValuesToBeInSet, ExpectColumnValuesToNotBeNull, MapExpectation}
+import graft.streaming.StreamingValidate
+import graft.transcripts.{QualityFilter, Transcripts}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Transcripts written to disk so a file stream can replay them. */
+  lazy val stagingDir: String = {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed streaming validation matches batch counts") {
+    val batch = spark.read.parquet(stagingDir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagingDir)
+    val exps: Seq[(String, MapExpectation)] = Seq(
+      "text_not_null" -> ExpectColumnValuesToNotBeNull("text"),
+      "role_in_set" -> ExpectColumnValuesToBeInSet("role", QualityFilter.AllowedRoles))
+    val q = StreamingValidate.validateStream(stream, exps, "ts", "1 hour", "1 day")
+      .writeStream.outputMode("complete").format("memory").queryName("vs")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql(
+      "SELECT sum(element_count), sum(role_in_set_unexpected) FROM vs").head()
+    assert(got.getLong(0) == batch.count())
+    val want = batch.filter(!col("role").isin(QualityFilter.AllowedRoles: _*)).count()
+    assert(got.getLong(1) == want)
+  }
+
+  test("stateful role-sequence matches the batch lag window across micro-batches") {
+    val batch = spark.read.parquet(stagingDir)
+    // Split every conversation across two micro-batches by turn range,
+    // delivered in order (write phase 1, drain, write phase 2, drain) —
+    // this exercises state continuation, not just within-batch sorting.
+    val dir = Files.createTempDirectory("graft_stream_seq").toString
+    batch.filter(col("turn_idx") < 4).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val turns = stream.select(col("conv_id"), col("turn_idx"), col("role"))
+      .as[StreamingValidate.TurnKey]
+    val q = StreamingValidate.roleSeqStateful(turns)
+      .writeStream.outputMode("append").format("memory").queryName("rs")
+      .start()
+    q.processAllAvailable()
+    batch.filter(col("turn_idx") >= 4).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT conv_id, turn_idx, role_seq_ok FROM rs")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+    val want = QualityFilter(batch)
+      .select(col("conv_id"), col("turn_idx"), col("role_seq_ok"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
+  test("stateless quality-filter columns run on a stream") {
+    val batch = spark.read.parquet(stagingDir)
+    val stream = spark.readStream.schema(batch.schema).parquet(stagingDir)
+    val q = StreamingValidate.qualityFilterStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("qf")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT count(*), sum(CASE WHEN pii_found THEN 1 ELSE 0 END) FROM qf").head()
+    val want = QualityFilter(batch)
+    assert(got.getLong(0) == want.count())
+    assert(got.getLong(1) == want.filter("pii_found").count())
+  }
+}
