@@ -22,7 +22,9 @@ object ScalingBench {
       val transcripts = Bench.replicatedTranscripts(spark, sfDir, rep)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val turns = transcripts.count()
-      val secs = Bench.timedMin(2)(Bench.consume(QualityFilter(transcripts)))
+      // min-of-5: the sandbox host is shared and single runs vary ±2×;
+      // the minimum approximates an unloaded machine for both configs.
+      val secs = Bench.timedMin(5)(Bench.consume(QualityFilter(transcripts)))
       transcripts.unpersist()
       (turns, secs)
     } finally spark.stop()

@@ -156,8 +156,8 @@ object CoreQueries {
     "q06_partition_year_month" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // partitioner: partition_on_year_and_month (sparkdf_data_partitioner.py:51)
-      t(dir, "events")
-        .filter(year(col("ts")) === 2024 && month(col("ts")) === 1)
+      // as a RANGE predicate so it reaches the parquet scan (PushedFilters)
+      graft.sources.Partitioners.onYearMonth(t(dir, "events"), "ts", 2024, 1)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     }),

@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.sql.Timestamp
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch partitioners (SURVEY.md §2.2, sparkdf_data_partitioner.py).
+  *
+  * Semantics match the reference, but the datetime partitioners emit RANGE
+  * predicates instead of `year(ts) = y AND month(ts) = m`: a function-
+  * wrapped column defeats parquet row-group pruning (`.explain` shows
+  * PushedFilters: [IsNotNull(ts)] only), while `ts >= lo AND ts < hi` pushes
+  * to the scan and prunes row groups / partitions — the difference between
+  * reading one month and reading 100 TB.
+  */
+object Partitioners {
+
+  def wholeTable(df: DataFrame): DataFrame = df
+
+  private def ts(d: LocalDateTime): Column =
+    lit(Timestamp.valueOf(d)).cast(TimestampNTZType)
+
+  def onYear(df: DataFrame, column: String, year: Int): DataFrame = {
+    val lo = LocalDateTime.of(year, 1, 1, 0, 0)
+    df.filter(col(column) >= ts(lo) && col(column) < ts(lo.plusYears(1)))
+  }
+
+  def onYearMonth(df: DataFrame, column: String, year: Int, month: Int): DataFrame = {
+    val lo = LocalDateTime.of(year, month, 1, 0, 0)
+    df.filter(col(column) >= ts(lo) && col(column) < ts(lo.plusMonths(1)))
+  }
+
+  def onYearMonthDay(df: DataFrame, column: String, year: Int, month: Int,
+      day: Int): DataFrame = {
+    val lo = LocalDateTime.of(year, month, day, 0, 0)
+    df.filter(col(column) >= ts(lo) && col(column) < ts(lo.plusDays(1)))
+  }
+
+  def onColumnValue(df: DataFrame, column: String, value: Any): DataFrame =
+    df.filter(col(column) === lit(value))
+
+  def onConvertedDatetime(df: DataFrame, column: String, fmt: String,
+      value: String): DataFrame =
+    df.filter(date_format(col(column), fmt) === value)
+
+  def onDividedInteger(df: DataFrame, column: String, divisor: Int,
+      value: Int): DataFrame =
+    df.filter(floor(col(column) / divisor) === value)
+
+  def onModInteger(df: DataFrame, column: String, mod: Int, value: Int): DataFrame =
+    df.filter(col(column) % mod === value)
+
+  def onMultiColumnValues(df: DataFrame, values: Map[String, Any]): DataFrame =
+    values.foldLeft(df) { case (d, (c, v)) => d.filter(col(c) === lit(v)) }
+
+  /** md5-bucket partitioner (sparkdf_data_partitioner.py:272-290). */
+  def onHashedColumn(df: DataFrame, column: String, buckets: Int,
+      bucket: Int): DataFrame =
+    df.filter(conv(substring(md5(col(column).cast(StringType)), 1, 2), 16, 10)
+      .cast(LongType) % buckets === bucket)
+
+  // --- samplers (§2.3, sparkdf_data_sampler.py) -------------------------------
+
+  def sampleLimit(df: DataFrame, n: Int): DataFrame = df.limit(n)
+
+  def sampleRandom(df: DataFrame, p: Double, seed: Long): DataFrame =
+    df.withColumn("__rand", rand(seed)).filter(col("__rand") < p).drop("__rand")
+
+  def sampleMod(df: DataFrame, column: String, mod: Int, value: Int): DataFrame =
+    df.filter(col(column) % mod === value)
+
+  def sampleList(df: DataFrame, column: String, values: Seq[Any]): DataFrame =
+    df.filter(col(column).isin(values: _*))
+
+  def sampleHash(df: DataFrame, column: String, digits: Int,
+      value: String): DataFrame =
+    df.filter(substring(md5(col(column).cast(StringType)), 33 - digits, digits)
+      === value)
+}
