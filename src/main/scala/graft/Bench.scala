@@ -18,13 +18,22 @@ import graft.transcripts.{QualityFilter, Transcripts}
   */
 object Bench {
 
-  def session(cpus: String): SparkSession = SparkSession.builder()
-    .master(s"local[$cpus]")
-    .config("spark.sql.shuffle.partitions", cpus)
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  def session(cpus: String): SparkSession = {
+    val shm = new java.io.File("/dev/shm/spark-tmp")
+    val localDir = if (shm.isDirectory || shm.mkdirs()) shm.getPath
+      else System.getProperty("java.io.tmpdir")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", localDir) // tmpfs shuffle: local[32] is
+      // CPU-rich / disk-poor; compression is then pure CPU overhead
+      .config("spark.shuffle.compress", "false")
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      .getOrCreate()
+  }
 
   val Replication = 20
 

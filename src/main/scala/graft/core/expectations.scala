@@ -706,6 +706,43 @@ final case class ExpectTableRowCountToEqualOtherTable(
   }
 }
 
+/** Continuous-path KL divergence (expect_column_kl_divergence_to_be_less_
+  * than.py:110, continuous partition_object): bucketize by the given bin
+  * edges (column.histogram / column.partition analogue — one fused CASE
+  * aggregation, no Bucketizer dependency) and compare against the expected
+  * per-bin weights. Observed values outside the bins → +∞ divergence. */
+final case class ExpectColumnKlDivergenceContinuousToBeLessThan(column: String,
+    binEdges: Seq[Double], binWeights: Seq[Double], threshold: Double,
+    override val rowCondition: Option[String] = None) extends ValueExpectation {
+  require(binEdges.size == binWeights.size + 1, "need |edges| = |weights| + 1")
+  val expectationType = "expect_column_kl_divergence_to_be_less_than"
+  def kwargs = Map("column" -> column, "threshold" -> threshold,
+    "partition" -> "continuous")
+  def run(df: DataFrame): Evr = {
+    val c = col(column)
+    val binCols = binWeights.indices.map { i =>
+      val inBin =
+        if (i == binWeights.size - 1) c >= binEdges(i) && c <= binEdges(i + 1)
+        else c >= binEdges(i) && c < binEdges(i + 1)
+      sum(when(c.isNotNull && inBin, 1L).otherwise(0L)).as(s"b$i")
+    }
+    val aggs = binCols :+ count(c).as("nn")
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val counts = binWeights.indices.map(i => row.getAs[Long](s"b$i"))
+    val nonnull = row.getAs[Long]("nn")
+    val outside = nonnull - counts.sum
+    val kl: Double =
+      if (nonnull == 0) Double.NaN
+      else if (outside > 0) Double.PositiveInfinity
+      else binWeights.indices.map { i =>
+        val p = counts(i).toDouble / nonnull
+        if (p == 0.0) 0.0 else p * math.log(p / binWeights(i))
+      }.sum
+    Evr(expectationType, kwargs, !kl.isNaN && kl < threshold,
+      Map("observed_value" -> kl))
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Schema / table-shape expectations (driver-side over df.schema)
 // ---------------------------------------------------------------------------

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.sources.Partitioners
+
+class PartitionersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+  test("datetime partitioners match function-based semantics") {
+    import org.apache.spark.sql.functions._
+    val byRange = Partitioners.onYearMonth(events, "ts", 2024, 1).count()
+    val byFn = events.filter(year(col("ts")) === 2024 && month(col("ts")) === 1).count()
+    assert(byRange == byFn && byRange > 0)
+    val d = Partitioners.onYearMonthDay(events, "ts", 2024, 1, 2).count()
+    val dFn = events.filter(year(col("ts")) === 2024 &&
+      month(col("ts")) === 1 && dayofmonth(col("ts")) === 2).count()
+    assert(d == dFn && d > 0)
+  }
+
+  test("value / mod / divided / multi-column / hashed partitioners") {
+    assert(Partitioners.onColumnValue(events, "event_type", "click").count() > 0)
+    val mod = Partitioners.onModInteger(events, "event_id", 10, 3)
+    assert(mod.collect().forall(_.getAs[Long]("event_id") % 10 == 3))
+    val div = Partitioners.onDividedInteger(events, "event_id", 100, 2)
+    assert(div.collect().forall(r => r.getAs[Long]("event_id") / 100 == 2))
+    val mc = Partitioners.onMultiColumnValues(events,
+      Map("event_type" -> "click", "user_id" -> 3L))
+    assert(mc.collect().forall(r =>
+      r.getAs[String]("event_type") == "click" && r.getAs[Long]("user_id") == 3L))
+    val buckets = (0 until 8).map(b =>
+      Partitioners.onHashedColumn(events, "user_id", 8, b).count()).sum
+    assert(buckets == events.count()) // hash buckets partition the table
+  }
+
+  test("samplers") {
+    assert(Partitioners.sampleLimit(events, 10).count() == 10)
+    val r = Partitioners.sampleRandom(events, 0.1, 42)
+    assert(r.count() > 0 && r.count() < events.count())
+    assert(r.count() == Partitioners.sampleRandom(events, 0.1, 42).count()) // seeded
+    assert(Partitioners.sampleList(events, "user_id", Seq(1L, 2L)).count() > 0)
+    val h = Partitioners.sampleHash(events, "event_id", 1, "a")
+    assert(h.count() > 0 && h.count() < events.count() / 8)
+  }
+
+  test("continuous KL divergence over bins") {
+    import spark.implicits._
+    val d = (1 to 1000).map(_ % 100 / 100.0).toDF("v") // ~uniform [0,1)
+    val ok = Graft.validate(d, Suite("kl", Seq(
+      ExpectColumnKlDivergenceContinuousToBeLessThan("v",
+        Seq(0.0, 0.25, 0.5, 0.75, 1.0), Seq(0.25, 0.25, 0.25, 0.25), 0.01))))
+    assert(ok.success)
+    val skewed = Graft.validate(d, Suite("kl", Seq(
+      ExpectColumnKlDivergenceContinuousToBeLessThan("v",
+        Seq(0.0, 0.25, 0.5, 0.75, 1.0), Seq(0.9, 0.05, 0.03, 0.02), 0.5))))
+    assert(!skewed.success)
+    val outside = Graft.validate(d, Suite("kl", Seq(
+      ExpectColumnKlDivergenceContinuousToBeLessThan("v",
+        Seq(0.0, 0.25, 0.5), Seq(0.5, 0.5), 100.0))))
+    assert(!outside.success) // values beyond last edge → ∞
+  }
+}
