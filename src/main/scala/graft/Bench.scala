@@ -35,7 +35,7 @@ object Bench {
       .getOrCreate()
   }
 
-  val Replication = 20
+  val Replication = 50
 
   /** Deterministically replicate events into `rep`× as many conversations. */
   def replicatedTranscripts(spark: SparkSession, sfDir: String, rep: Int): DataFrame = {
@@ -73,7 +73,7 @@ object Bench {
     consume(QualityFilter(Transcripts.fromEvents(spark, sfDir)).limit(1000))
 
     val transcripts = replicatedTranscripts(spark, sfDir, Replication)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val turns = transcripts.count()
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -132,8 +132,10 @@ object CoverageQueries {
       implicit val sp: SparkSession = s
       // sample_using_random(p, seed) (sparkdf_data_sampler.py:43-47):
       // rand() streams are engine-specific → rows-only check (no oracle).
-      t(dir, "events").withColumn("r", rand(42)).filter(col("r") < 0.1)
-        .select(col("event_id"), col("event_type"))
+      // Layout pinned so the seeded sample is run-to-run deterministic.
+      t(dir, "events").repartition(1).sortWithinPartitions("event_id")
+        .withColumn("r", rand(42)).filter(col("r") < 0.1)
+        .select(col("event_id"), col("event_type")).orderBy("event_id")
     }),
     "q40_table_head" -> ((s, dir) => {
       implicit val sp: SparkSession = s

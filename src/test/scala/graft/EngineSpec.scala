@@ -11,6 +11,7 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions) // SQL registration under test
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  /** The shared test session is built withExtensions(new GraftExtensions),
+    * so SQL registration is exercised end-to-end here. */
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("native expressions are callable from SQL") {
+    import spark.implicits._
+    Seq(
+      ("the quick brown fox jumps", 1),
+      ("der die das und nicht", 2),
+      ("call 555-123-4567 now damn", 3)).toDF("text", "id")
+      .createOrReplaceTempView("t")
+    val r = spark.sql(
+      """SELECT id,
+        |  lang_ppl_score(text).avg_logprob AS lp,
+        |  scrub_flags(text).scrubbed_text AS scrubbed,
+        |  scrub_flags(text).phone_found AS phone,
+        |  token_stats(text).n_tokens AS nt
+        |FROM t ORDER BY id""".stripMargin).collect()
+    assert(r(0).getAs[Double]("lp") == -11.0 / 5)
+    assert(r(1).getAs[Double]("lp") == -7.0)
+    assert(r(2).getAs[Boolean]("phone"))
+    assert(r(2).getAs[String]("scrubbed") == "call [PHONE] now [REDACTED]")
+    assert(r.map(_.getAs[Int]("nt")).toSeq == Seq(5, 5, 4))
+    val agg = spark.sql(
+      "SELECT collect_limited(id, 2) AS c FROM t").head()
+    assert(agg.getAs[scala.collection.Seq[Int]]("c").size == 2)
+  }
+}
