@@ -110,6 +110,11 @@ final case class ExpectColumnValuesToBeBetween(column: String,
     extends ColumnMapExpectation {
   require(minValue.isDefined || maxValue.isDefined,
     "min_value and max_value cannot both be None")
+  (minValue, maxValue) match {
+    case (Some(a: Number), Some(b: Number)) =>
+      require(a.doubleValue() <= b.doubleValue(), "min_value cannot be greater than max_value")
+    case _ =>
+  }
   val expectationType = "expect_column_values_to_be_between"
   def kwargs = Map("column" -> column, "min_value" -> minValue.orNull,
     "max_value" -> maxValue.orNull, "mostly" -> mostly)
