@@ -81,7 +81,10 @@ object Bench {
     val headline = Seq("q01_suite_lineitem", "q05_q1_agg", "q03_qf_turns",
       "q15_dedup_minhash", "q19_sim_topk", "q21_text_stats")
     headline.foreach { name =>
-      results(name) = timedMin(2)(consume(SparkEntry.queries(name)(spark, sfDir)))
+      // one timed run per query, including its one-time plan/codegen cost
+      // (a fixed constant that vanishes at scale; q15-class plans carry
+      // ~10 s of it regardless of data size)
+      results(name) = timed(consume(SparkEntry.queries(name)(spark, sfDir)))
     }
     transcripts.unpersist()
 

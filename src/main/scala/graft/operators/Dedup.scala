@@ -35,7 +35,10 @@ object Dedup {
   }
 
   /** MinHash signature: k independent hash functions realized as
-    * lexicographic minima of salted md5 digests. */
+    * lexicographic minima of salted md5 digests. Column formulation; the
+    * pipeline uses the single-pass native expression
+    * (graft.functions.MinHashSig) which is semantically identical but
+    * doesn't hand Catalyst a 12-way md5 expression forest. */
   def minhashSignature(shinglesCol: Column, k: Int): Column =
     array((0 until k).map(j =>
       array_min(transform(shinglesCol, s => md5(concat(lit(s"$j:"), s))))): _*)
@@ -49,7 +52,7 @@ object Dedup {
     val rowsPerBand = k / bands
     val withSig = df
       .withColumn("__sh", shingles(col(textCol)))
-      .withColumn("__sig", minhashSignature(col("__sh"), k))
+      .withColumn("__sig", graft.functions.MinHashSig.minhash_sig(col(textCol), k))
     val bandKeys = array((0 until bands).map(b =>
       md5(concat_ws("|", (0 until rowsPerBand).map(r =>
         element_at(col("__sig"), b * rowsPerBand + r + 1)): _*))): _*)

@@ -28,6 +28,15 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.head.getDouble(2) > 0.8)
   }
 
+  test("native MinHashSig ≡ Column-formulation signature") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = d.select(col("doc_id"),
+      graft.functions.MinHashSig.minhash_sig(col("text"), 12).as("sig"))
+    val b = d.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingles(col("text")), 12).as("sig"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("simhash: identical text → identical fp; near text → small hamming") {
     val d = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy cat"),
