@@ -133,6 +133,15 @@ class EngineSpec extends AnyFunSuite {
     assert(r.result("unexpected_count") == 1L)
   }
 
+  test("pair values in set (null-safe struct membership)") {
+    val d = Seq((Some(1), Some(2)), (Some(3), Some(4)), (None, None),
+      (Some(1), None)).toDF("a", "b")
+    val r = Graft.validate(d, Suite("t", Seq(
+      ExpectColumnPairValuesToBeInSet("a", "b", Seq((1, 2), (1, null)))))).results.head
+    assert(r.result("missing_count") == 1L) // the all-null row
+    assert(r.result("unexpected_count") == 1L) // (3,4); (1,null) matches via <=>
+  }
+
   test("multicolumn sum equal with coalesce-null-to-zero") {
     val d = Seq((1, 2, 3), (2, 2, 2), (6, 0, 0)).toDF("c1", "c2", "c3")
     val r = Graft.validate(d, Suite("t", Seq(
