@@ -49,6 +49,15 @@ sealed trait MapExpectation extends Expectation {
   def unexpectedValue: Column =
     if (domainColumns.size == 1) col(domainColumns.head).cast(StringType)
     else to_json(struct(domainColumns.map(col): _*))
+  /** True when the unexpected condition contains a window function. Such
+    * expectations run in their own job (as the reference does,
+    * map_condition_auxilliary_methods.py:600-625) so that one window can't
+    * drag the whole suite's fused projection through its shuffle — or, for
+    * a global window, through a single-partition sort. */
+  def usesWindow: Boolean = false
+  /** True when the window has no partition spec: evaluation is a
+    * single-partition sort, correct but non-scalable by construction. */
+  def usesGlobalWindow: Boolean = false
 }
 
 /** Column-map expectation: expected(col) over non-null values.
@@ -82,15 +91,18 @@ final case class ExpectColumnValuesToNotBeNull(column: String, mostly: Double = 
   def expected(c: Column): Column = c.isNotNull
 }
 
-/** column_values.in_set — empty set is trivially true
-  * (column_values_in_set.py:78-88). */
+/** column_values.in_set — an EMPTY value_set marks every non-null value
+  * unexpected (golden corpus expect_column_values_to_be_in_set.json:54-60);
+  * only value_set=None is vacuously true in the reference
+  * (column_values_in_set.py:78-88), which this typed model has no analogue
+  * for (omit the expectation instead). */
 final case class ExpectColumnValuesToBeInSet(column: String, valueSet: Seq[Any],
     mostly: Double = 1.0, override val rowCondition: Option[String] = None)
     extends ColumnMapExpectation {
   val expectationType = "expect_column_values_to_be_in_set"
   def kwargs = Map("column" -> column, "value_set" -> valueSet, "mostly" -> mostly)
   def expected(c: Column): Column =
-    if (valueSet.isEmpty) lit(true) else c.isin(valueSet: _*)
+    if (valueSet.isEmpty) lit(false) else c.isin(valueSet: _*)
 }
 
 final case class ExpectColumnValuesToNotBeInSet(column: String, valueSet: Seq[Any],
@@ -217,6 +229,7 @@ final case class ExpectColumnValuesToBeUnique(column: String, mostly: Double = 1
     override val rowCondition: Option[String] = None) extends ColumnMapExpectation {
   val expectationType = "expect_column_values_to_be_unique"
   def kwargs = Map("column" -> column, "mostly" -> mostly)
+  override def usesWindow = true
   def expected(c: Column): Column =
     count(lit(1)).over(Window.partitionBy(c)) <= 1
 }
@@ -233,6 +246,8 @@ final case class ExpectColumnValuesToBeIncreasing(column: String,
     override val rowCondition: Option[String] = None) extends ColumnMapExpectation {
   val expectationType = "expect_column_values_to_be_increasing"
   def kwargs = Map("column" -> column, "strictly" -> strictly, "mostly" -> mostly)
+  override def usesWindow = true
+  override def usesGlobalWindow: Boolean = partitionBy.isEmpty
   def expected(c: Column): Column = MonotonicCond(c, partitionBy, orderBy, up = true, strictly)
 }
 
@@ -242,6 +257,8 @@ final case class ExpectColumnValuesToBeDecreasing(column: String,
     override val rowCondition: Option[String] = None) extends ColumnMapExpectation {
   val expectationType = "expect_column_values_to_be_decreasing"
   def kwargs = Map("column" -> column, "strictly" -> strictly, "mostly" -> mostly)
+  override def usesWindow = true
+  override def usesGlobalWindow: Boolean = partitionBy.isEmpty
   def expected(c: Column): Column = MonotonicCond(c, partitionBy, orderBy, up = false, strictly)
 }
 
@@ -283,18 +300,30 @@ object Strftime {
     'I' -> "hh", 'M' -> "mm", 'S' -> "ss", 'f' -> "SSSSSS", 'p' -> "a",
     'j' -> "DDD", 'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM",
     'Z' -> "zz", 'z' -> "xx", '%' -> "%")
+  private val patternLetters = "GyMLdEuQqHhKkmsSaVzOXxZ"
+  /** Quote a literal char for DateTimeFormatter: '' for a quote, 'c' for
+    * pattern letters, bare otherwise. */
+  private def quoteLiteral(out: StringBuilder, ch: Char): Unit =
+    if (ch == '\'') out.append("''")
+    else if (patternLetters.indexOf(ch.toInt) >= 0)
+      out.append('\'').append(ch).append('\'')
+    else out.append(ch)
   def toJavaPattern(fmt: String): String = {
     val out = new StringBuilder
     var i = 0
     while (i < fmt.length) {
       val ch = fmt.charAt(i)
       if (ch == '%' && i + 1 < fmt.length) {
-        out.append(table.getOrElse(fmt.charAt(i + 1), fmt.charAt(i + 1).toString))
+        val d = fmt.charAt(i + 1)
+        // unknown %-directives are literals; quote ones that collide with
+        // DateTimeFormatter pattern letters (e.g. %e) instead of corrupting
+        // the pattern
+        table.get(d) match {
+          case Some(p) => out.append(p)
+          case None => quoteLiteral(out, d)
+        }
         i += 2
-      } else if ("GyMLdEuQqHhKkmsSaVzOXxZ'".indexOf(ch.toInt) >= 0) {
-        out.append('\'').append(ch).append('\'') // literal chars that are pattern letters
-        i += 1
-      } else { out.append(ch); i += 1 }
+      } else { quoteLiteral(out, ch); i += 1 }
     }
     out.toString
   }
@@ -437,6 +466,7 @@ final case class ExpectCompoundColumnsToBeUnique(columns: Seq[String],
     extends MulticolumnMapExpectation {
   val expectationType = "expect_compound_columns_to_be_unique"
   def kwargs = Map("column_list" -> columns, "mostly" -> mostly)
+  override def usesWindow = true
   def expectedMulti(cs: Seq[Column]): Column =
     count(lit(1)).over(Window.partitionBy(cs: _*)) <= 1
 }

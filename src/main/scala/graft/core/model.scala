@@ -21,6 +21,27 @@ object ResultFormat {
   val MaxResultRecords = 200
 }
 
+/** Full result_format parameter object
+  * (expectation_configuration.py:47 `parse_result_format`; field use at
+  * expectations/expectation.py:2605-2752): a bare level string is promoted
+  * to a spec with defaults, and the dict form tunes the partial caps,
+  * value exclusion, index columns and index-query emission. */
+final case class ResultFormatSpec(
+    level: ResultFormat,
+    partialUnexpectedCount: Int = ResultFormat.PartialUnexpectedCount,
+    excludeUnexpectedValues: Boolean = false,
+    returnUnexpectedIndexQuery: Boolean = true,
+    unexpectedIndexColumnNames: Seq[String] = Nil) {
+  def rank: Int = level.rank
+}
+object ResultFormatSpec {
+  import scala.language.implicitConversions
+  /** `result_format="SUMMARY"` shorthand, as in the reference. */
+  implicit def fromLevel(level: ResultFormat): ResultFormatSpec =
+    ResultFormatSpec(level)
+  val default: ResultFormatSpec = ResultFormatSpec(ResultFormat.default)
+}
+
 /** Null handling for pair/multicolumn domains
   * (execution_engine/sparkdf_execution_engine.py:687-726). */
 sealed trait IgnoreRowIf

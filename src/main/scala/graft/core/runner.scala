@@ -18,22 +18,51 @@ final case class Suite(name: String, expectations: Seq[Expectation])
   * only AGGREGATE_FN partials), we fuse the ENTIRE suite per compute domain:
   *
   *   1. optional tiny pre-agg job for z-score mean/stddev dependencies;
-  *   2. ONE projection evaluating every map expectation's unexpected/missing
-  *      boolean (window conditions included) followed by ONE `df.agg` that
-  *      bundles row_count, per-expectation unexpected/missing counts, capped
+  *   2. ONE projection evaluating every window-free map expectation's
+  *      unexpected/missing boolean followed by ONE `df.agg` that bundles
+  *      row_count, per-expectation unexpected/missing counts, capped
   *      unexpected-value samples (graft.functions.CollectLimited), and all
-  *      aggregate expectations' aggregates;
-  *   3. individual small jobs only for VALUE-type expectations (median,
+  *      aggregate expectations' aggregates (identical aggregates deduped);
+  *   3. one job per WINDOW-shaped map expectation (unique / compound-unique
+  *      / monotonic): its window would otherwise drag the whole fused
+  *      projection through its shuffle — or a single-partition sort for
+  *      unpartitioned monotonic checks — so each runs isolated, like the
+  *      reference's per-metric jobs (map_condition_auxilliary_methods.py:
+  *      600-625);
+  *   4. individual small jobs only for VALUE-type expectations (median,
   *      quantiles, distinct sets, KL) and SQL passthroughs.
   *
-  * So a suite of N row-rules costs ~1 scan instead of ~N.
+  * So a suite of N row-rules costs ~1 scan + 1 scan per window rule instead
+  * of ~N. Transient job failures are retried up to MaxAttempts times
+  * (validation_graph.py:48,263-271).
   */
 final class SuiteRunner(
-    resultFormat: ResultFormat = ResultFormat.default,
+    resultFormat: ResultFormatSpec = ResultFormatSpec.default,
     idColumns: Seq[String] = Nil,
     batchViewName: String = "batch") {
 
-  import ResultFormat._
+  import ResultFormat.{MaxResultRecords, BooleanOnly, Basic, Summary, Complete}
+  import SuiteRunner.MaxAttempts
+
+  /** Index columns: the result_format parameter wins over the constructor. */
+  private val indexColumns: Seq[String] =
+    if (resultFormat.unexpectedIndexColumnNames.nonEmpty)
+      resultFormat.unexpectedIndexColumnNames
+    else idColumns
+
+  /** ≤3 attempts per Spark job, mirroring the reference's per-metric retry
+    * (validation_graph.py MAX_METRIC_COMPUTATION_RETRIES). Retries guard
+    * against transient executor failures; deterministic errors just fail
+    * three times and surface the last exception. */
+  private def withRetry[T](f: => T): T = {
+    var attempt = 1
+    var last: Throwable = null
+    while (attempt <= MaxAttempts) {
+      try return f
+      catch { case t: Throwable => last = t; attempt += 1 }
+    }
+    throw last
+  }
 
   def run(df: DataFrame, suite: Suite): SuiteResult = {
     val evrs = mutable.LinkedHashMap.empty[Int, Evr] // preserve suite order
@@ -66,22 +95,29 @@ final class SuiteRunner(
     // -- VALUE expectations: one small job each -------------------------------
     exps.zipWithIndex.foreach {
       case (e: ValueExpectation, i) =>
-        record(i, Try(e.run(e.rowCondition.map(df.filter).getOrElse(df))))
+        record(i, Try(withRetry(
+          e.run(e.rowCondition.map(df.filter).getOrElse(df)))))
       case _ =>
     }
 
     // -- query expectations ----------------------------------------------------
     exps.zipWithIndex.foreach {
       case (e: UnexpectedRowsExpectation, i) =>
-        record(i, Try {
+        record(i, Try(withRetry {
           df.createOrReplaceTempView(batchViewName)
           val sql = e.unexpectedRowsQuery.replace("{batch}", batchViewName)
-          val rows = df.sparkSession.sql(sql).limit(MaxResultRecords).collect()
+          val resDf = df.sparkSession.sql(sql)
+          val rows = resDf.limit(MaxResultRecords).collect()
+          // observed_value is the TRUE unexpected-row count; the capped
+          // collect is only the sample (unexpected_rows_expectation.py:96).
+          val total: Long =
+            if (rows.length < MaxResultRecords) rows.length.toLong
+            else resDf.count()
           Evr(e.expectationType, e.kwargs, rows.isEmpty, Map(
-            "observed_value" -> rows.length,
-            "unexpected_rows" -> rows.take(PartialUnexpectedCount)
+            "observed_value" -> total,
+            "unexpected_rows" -> rows.take(resultFormat.partialUnexpectedCount)
               .map(_.toString).toSeq))
-        })
+        }))
       case _ =>
     }
 
@@ -90,8 +126,9 @@ final class SuiteRunner(
         success = false, Map.empty, Some("not evaluated")))))
   }
 
-  /** Pre-resolve z-score dependencies, then run the single fused
-    * projection+aggregate job for one compute domain. */
+  /** Pre-resolve z-score dependencies, split window-shaped conditions into
+    * their own jobs, then run the single fused projection+aggregate job for
+    * one compute domain. */
   private def runFusedDomain(domainDf: DataFrame,
       group: Seq[(Expectation, Int)], record: (Int, Try[Evr]) => Unit): Unit = {
 
@@ -115,42 +152,80 @@ final class SuiteRunner(
     val aggExps = ok.collect { case (e: AggExpectation, i) => (e, i) }
     if (mapExps.isEmpty && aggExps.isEmpty) return
 
-    // phase 0: z-score mean/std (one fused pre-agg if any are present)
-    val zCols = mapExps.collect {
-      case (z: ExpectColumnValueZScoresToBeLessThan, _) => z.column
-    }.distinct
-    val zStats: Map[String, (Double, Double)] =
+    // phase 0: z-score mean/std (one fused pre-agg if any are present).
+    // Extraction is per-column Try: an all-null / single-row / zero-stddev
+    // column fails only ITS z-score expectations with an exception EVR
+    // instead of aborting the whole run.
+    val zExps = mapExps.collect {
+      case (z: ExpectColumnValueZScoresToBeLessThan, i) => (z, i)
+    }
+    val zCols = zExps.map(_._1.column).distinct
+    val zStats: Map[String, Try[(Double, Double)]] =
       if (zCols.isEmpty) Map.empty
-      else {
+      else Try(withRetry {
         val aggsZ = zCols.flatMap(c => Seq(
           avg(col(c)).as(s"__zm_$c"), stddev_samp(col(c)).as(s"__zs_$c")))
-        val r = domainDf.agg(aggsZ.head, aggsZ.tail: _*).head()
-        zCols.map(c => c -> (
-          r.getAs[Any](s"__zm_$c").asInstanceOf[Number].doubleValue(),
-          r.getAs[Any](s"__zs_$c").asInstanceOf[Number].doubleValue())).toMap
+        domainDf.agg(aggsZ.head, aggsZ.tail: _*).head()
+      }) match {
+        case Failure(ex) => zCols.map(c => c -> Failure[(Double, Double)](ex)).toMap
+        case Success(r) => zCols.map { c =>
+          c -> Try {
+            val m = r.getAs[Any](s"__zm_$c")
+            val s = r.getAs[Any](s"__zs_$c")
+            require(m != null && s != null,
+              s"mean/stddev of '$c' undefined (empty or single-row domain)")
+            val sd = s.asInstanceOf[Number].doubleValue()
+            require(sd != 0.0 && !sd.isNaN, s"stddev of '$c' is zero or NaN")
+            (m.asInstanceOf[Number].doubleValue(), sd)
+          }
+        }.toMap
       }
+    val zFailed = zExps.filter { case (z, _) => zStats(z.column).isFailure }
+    zFailed.foreach { case (z, i) =>
+      record(i, Failure(zStats(z.column).failed.get))
+    }
+    val zFailedIdx = zFailed.map(_._2).toSet
 
     def unexpectedCond(e: MapExpectation): Column = e match {
       case z: ExpectColumnValueZScoresToBeLessThan =>
-        val (m, s) = zStats(z.column)
+        val (m, s) = zStats(z.column).get
         col(z.column).isNotNull && !z.expectedWith(col(z.column), m, s)
       case other => other.unexpectedCondition
     }
 
-    val collectValues = resultFormat.rank >= Basic.rank
-    val collectIndexes = idColumns.nonEmpty && resultFormat.rank >= Summary.rank
+    // Window-shaped conditions run isolated; everything else fuses.
+    val live = mapExps.filterNot { case (_, i) => zFailedIdx.contains(i) }
+    val (windowExps, plainExps) = live.partition(_._1.usesWindow)
+
+    runMapAggBatch(domainDf, plainExps, aggExps, unexpectedCond, record)
+    windowExps.foreach { case (e, i) =>
+      runMapAggBatch(domainDf, Seq((e, i)), Nil, unexpectedCond, record)
+    }
+  }
+
+  /** One projection + one aggregate over `domainDf` for the given map and
+    * aggregate expectations. Exposed package-private so plan tests can
+    * assert the fused frame's physical plan (e.g. contains no Window). */
+  private[graft] def fusedFrame(domainDf: DataFrame,
+      mapExps: Seq[(MapExpectation, Int)],
+      aggExps: Seq[(AggExpectation, Int)],
+      unexpectedCond: MapExpectation => Column)
+      : (DataFrame, Map[(Int, String), String]) = {
+    val collectValues =
+      resultFormat.rank >= Basic.rank && !resultFormat.excludeUnexpectedValues
+    val collectIndexes = indexColumns.nonEmpty && resultFormat.rank >= Summary.rank
     val cap =
       if (resultFormat.rank >= Complete.rank) MaxResultRecords
-      else PartialUnexpectedCount
+      else resultFormat.partialUnexpectedCount
 
-    // phase 1: projection — all conditions (incl. window shapes) in one pass
+    // phase 1: projection — all fused conditions in one pass
     val projCols = mutable.ArrayBuffer[Column](col("*"))
     mapExps.zipWithIndex.foreach { case ((e, _), k) =>
       projCols += unexpectedCond(e).as(s"__u$k")
       projCols += e.missingCondition.as(s"__m$k")
       if (collectValues) projCols += e.unexpectedValue.as(s"__v$k")
       if (collectIndexes)
-        projCols += to_json(struct(idColumns.map(col): _*)).as(s"__ix$k")
+        projCols += to_json(struct(indexColumns.map(col): _*)).as(s"__ix$k")
     }
     val proj = domainDf.select(projCols.toSeq: _*)
 
@@ -164,15 +239,45 @@ final class SuiteRunner(
       if (collectIndexes)
         aggCols += collect_limited(when(col(s"__u$k"), col(s"__ix$k")), cap).as(s"__uix$k")
     }
-    aggExps.zipWithIndex.foreach { case ((e, _), j) =>
-      e.aggs.foreach { case (name, c) => aggCols += c.as(s"__a${j}_$name") }
+    // Aggregate expectations: identical aggregate expressions requested by
+    // two expectations are computed ONCE, keyed by the canonical expression
+    // string ((name, domainId, value) dedup per SURVEY.md §4 / the
+    // reference's metric-value cache, execution_engine.py:152-159).
+    val aggAlias = mutable.LinkedHashMap.empty[String, String]
+    val resolveAlias = mutable.Map.empty[(Int, String), String]
+    aggExps.foreach { case (e, i) =>
+      e.aggs.foreach { case (name, c) =>
+        val key = c.toString
+        val alias = aggAlias.getOrElseUpdate(key, {
+          val a = s"__agg${aggAlias.size}"
+          aggCols += c.as(a)
+          a
+        })
+        resolveAlias((i, name)) = alias
+      }
     }
+    (proj.agg(aggCols.head, aggCols.tail.toSeq: _*), resolveAlias.toMap)
+  }
 
-    val rowT = Try(proj.agg(aggCols.head, aggCols.tail.toSeq: _*).head())
+  private def runMapAggBatch(domainDf: DataFrame,
+      mapExps: Seq[(MapExpectation, Int)],
+      aggExps: Seq[(AggExpectation, Int)],
+      unexpectedCond: MapExpectation => Column,
+      record: (Int, Try[Evr]) => Unit): Unit = {
+    if (mapExps.isEmpty && aggExps.isEmpty) return
+    val collectValues =
+      resultFormat.rank >= Basic.rank && !resultFormat.excludeUnexpectedValues
+    val collectIndexes = indexColumns.nonEmpty && resultFormat.rank >= Summary.rank
+
+    val rowT = Try {
+      val (fused, resolveAlias) =
+        fusedFrame(domainDf, mapExps, aggExps, unexpectedCond)
+      (withRetry(fused.head()), resolveAlias)
+    }
     rowT match {
       case Failure(ex) =>
-        group.foreach { case (_, i) => record(i, Failure(ex)) }
-      case Success(row) =>
+        (mapExps ++ aggExps).foreach { case (_, i) => record(i, Failure(ex)) }
+      case Success((row, resolveAlias)) =>
         val n = row.getAs[Long]("__n")
         mapExps.zipWithIndex.foreach { case ((e, i), k) =>
           record(i, Try {
@@ -185,10 +290,10 @@ final class SuiteRunner(
             buildMapEvr(e, n, mc, uc, vals, ixs)
           })
         }
-        aggExps.zipWithIndex.foreach { case ((e, i), j) =>
+        aggExps.foreach { case (e, i) =>
           record(i, Try {
             val resolved = e.aggs.map { case (name, _) =>
-              name -> row.getAs[Any](s"__a${j}_$name")
+              name -> row.getAs[Any](resolveAlias((i, name)))
             }.toMap
             val (ok, obs) = e.validate(resolved)
             Evr(e.expectationType, e.kwargs, ok, Map("observed_value" -> obs))
@@ -203,21 +308,23 @@ final class SuiteRunner(
       values: Seq[String], indexes: Seq[String]): Evr = {
     val nonnull = elementCount - missingCount
     val success = MostlyMath.success(nonnull, unexpectedCount, e.mostly)
-    if (resultFormat == BooleanOnly)
+    if (resultFormat.level == BooleanOnly)
       return Evr(e.expectationType, e.kwargs, success, Map.empty)
 
+    val partialCap = resultFormat.partialUnexpectedCount
     def pct(num: Long, den: Long): Any =
       if (den == 0) null else num.toDouble / den * 100.0
-    val partial = values.take(ResultFormat.PartialUnexpectedCount)
+    val partial = values.take(partialCap)
     val base = Map[String, Any](
       "element_count" -> elementCount,
       "unexpected_count" -> unexpectedCount,
       "unexpected_percent" -> pct(unexpectedCount, nonnull),
-      "partial_unexpected_list" -> partial,
       "missing_count" -> missingCount,
       "missing_percent" -> pct(missingCount, elementCount),
       "unexpected_percent_total" -> pct(unexpectedCount, elementCount),
-      "unexpected_percent_nonmissing" -> pct(unexpectedCount, nonnull))
+      "unexpected_percent_nonmissing" -> pct(unexpectedCount, nonnull)) ++
+      (if (resultFormat.excludeUnexpectedValues) Map.empty[String, Any]
+       else Map[String, Any]("partial_unexpected_list" -> partial))
 
     val summary =
       if (resultFormat.rank < Summary.rank) Map.empty[String, Any]
@@ -226,31 +333,43 @@ final class SuiteRunner(
         // (expectation.py:2714-2721)
         val counts = values.groupBy(identity).view.mapValues(_.size).toSeq
           .sortBy { case (v, c) => (-c, v) }
-          .take(ResultFormat.PartialUnexpectedCount)
+          .take(partialCap)
           .map { case (v, c) => Map("value" -> v, "count" -> c) }
-        Map[String, Any]("partial_unexpected_counts" -> counts) ++
+        (if (resultFormat.excludeUnexpectedValues) Map.empty[String, Any]
+         else Map[String, Any]("partial_unexpected_counts" -> counts)) ++
           (if (indexes.nonEmpty)
             Map[String, Any]("partial_unexpected_index_list" ->
-              indexes.take(ResultFormat.PartialUnexpectedCount))
+              indexes.take(partialCap))
            else Map.empty[String, Any])
       }
 
     val complete =
       if (resultFormat.rank < Complete.rank) Map.empty[String, Any]
-      else Map[String, Any](
-        "unexpected_list" -> values.take(ResultFormat.MaxResultRecords),
-        "unexpected_index_list" -> indexes.take(ResultFormat.MaxResultRecords),
-        "unexpected_index_query" ->
-          s"df.filter(${e.unexpectedCondition.toString})")
+      else {
+        (if (resultFormat.excludeUnexpectedValues) Map.empty[String, Any]
+         else Map[String, Any](
+           "unexpected_list" -> values.take(ResultFormat.MaxResultRecords))) ++
+        Map[String, Any](
+          "unexpected_index_list" -> indexes.take(ResultFormat.MaxResultRecords)) ++
+        (if (resultFormat.returnUnexpectedIndexQuery)
+          Map[String, Any]("unexpected_index_query" ->
+            s"df.filter(${e.unexpectedCondition.toString})")
+         else Map.empty[String, Any])
+      }
 
     Evr(e.expectationType, e.kwargs, success, base ++ summary ++ complete)
   }
 }
 
+object SuiteRunner {
+  /** validation_graph.py:48 MAX_METRIC_COMPUTATION_RETRIES = 3. */
+  val MaxAttempts = 3
+}
+
 object Graft {
   /** Convenience entry point: validate `df` against `suite`. */
   def validate(df: DataFrame, suite: Suite,
-      resultFormat: ResultFormat = ResultFormat.default,
+      resultFormat: ResultFormatSpec = ResultFormatSpec.default,
       idColumns: Seq[String] = Nil): SuiteResult =
     new SuiteRunner(resultFormat, idColumns).run(df, suite)
 

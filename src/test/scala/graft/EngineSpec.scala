@@ -98,8 +98,9 @@ class EngineSpec extends AnyFunSuite {
     assert(r.result("unexpected_index_list").asInstanceOf[Seq[_]].size == 200)
   }
 
-  test("in_set with empty set is trivially true") {
-    assert(one(ExpectColumnValuesToBeInSet("alpha", Nil)).success)
+  test("in_set with empty set marks all non-null values unexpected") {
+    val r = one(ExpectColumnValuesToBeInSet("alpha", Nil))
+    assert(!r.success)
   }
 
   test("unique window condition: duplicates unexpected, nulls masked") {
@@ -265,4 +266,117 @@ class EngineSpec extends AnyFunSuite {
     assert(!sr.results(1).success)
     assert(sr.results(1).result("observed_value") == 5)
   }
+
+  test("result_format parameter object: caps, exclusion, index columns") {
+    val big = (1 to 100).toDF("x")
+    // custom partial cap
+    val r1 = new SuiteRunner(ResultFormatSpec(ResultFormat.Summary,
+      partialUnexpectedCount = 3, unexpectedIndexColumnNames = Seq("x")))
+      .run(big, Suite("t", Seq(
+        ExpectColumnValuesToBeBetween("x", Some(1), Some(10))))).results.head
+    assert(r1.result("partial_unexpected_list").asInstanceOf[Seq[_]].size == 3)
+    assert(r1.result("partial_unexpected_counts").asInstanceOf[Seq[_]].size == 3)
+    assert(r1.result("partial_unexpected_index_list").asInstanceOf[Seq[_]].size == 3)
+    assert(r1.result("unexpected_count") == 90L) // counts never capped
+    // exclude_unexpected_values drops value lists but keeps counts/indexes
+    val r2 = new SuiteRunner(ResultFormatSpec(ResultFormat.Complete,
+      excludeUnexpectedValues = true, unexpectedIndexColumnNames = Seq("x")))
+      .run(big, Suite("t", Seq(
+        ExpectColumnValuesToBeBetween("x", Some(1), Some(10))))).results.head
+    assert(!r2.result.contains("partial_unexpected_list"))
+    assert(!r2.result.contains("unexpected_list"))
+    assert(r2.result("unexpected_count") == 90L)
+    assert(r2.result("unexpected_index_list").asInstanceOf[Seq[_]].nonEmpty)
+    // return_unexpected_index_query=false suppresses the query string
+    val r3 = new SuiteRunner(ResultFormatSpec(ResultFormat.Complete,
+      returnUnexpectedIndexQuery = false))
+      .run(big, Suite("t", Seq(
+        ExpectColumnValuesToBeBetween("x", Some(1), Some(10))))).results.head
+    assert(!r3.result.contains("unexpected_index_query"))
+  }
+
+  test("z-score on undefined-stats column fails only itself") {
+    val d = Seq((Option.empty[Double], 1), (None, 2), (None, 3)).toDF("v", "k")
+    val sr = Graft.validate(d, Suite("t", Seq(
+      ExpectColumnValueZScoresToBeLessThan("v", 3.0), // all-null: no mean
+      ExpectColumnValuesToBeBetween("k", Some(1), Some(3)))))
+    assert(!sr.results.head.success)
+    assert(sr.results.head.exception.isDefined)
+    assert(sr.results(1).success) // rest of the fused domain unaffected
+    // constant column: stddev = 0 → exception EVR, not NPE/∞
+    val const = Seq(2.0, 2.0, 2.0).toDF("v")
+    val r = Graft.validate(const, Suite("t", Seq(
+      ExpectColumnValueZScoresToBeLessThan("v", 3.0)))).results.head
+    assert(!r.success && r.exception.isDefined)
+  }
+
+  test("mixed suite: fused pass is window-free, window exps run isolated") {
+    val plans = collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val sr = Graft.validate(df, Suite("mixed", Seq(
+        ExpectColumnValuesToBeBetween("x", Some(0), Some(99)),
+        ExpectColumnValuesToNotBeNull("alpha"),
+        ExpectColumnValuesToBeIncreasing("x", orderBy = Seq("x")), // global window
+        ExpectColumnValuesToBeUnique("alpha"))))
+      assert(sr.success)
+      Thread.sleep(1500) // QueryExecutionListener delivery is async
+      val snap = plans.synchronized(plans.toList)
+      val fused = snap.filter(_.contains("__uc1")) // ≥2 fused map exps
+      assert(fused.nonEmpty, "expected a fused multi-expectation job")
+      assert(fused.forall(!_.contains("Window")),
+        "fused pass must not contain a Window operator")
+      assert(snap.exists(_.contains("Window")),
+        "window expectations should still run (in their own jobs)")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("identical aggregates are deduped in the fused plan") {
+    val sr = new SuiteRunner()
+    val aggExps: Seq[(AggExpectation, Int)] = Seq(
+      (ExpectColumnMeanToBeBetween("x", Some(0.0), Some(99.0)), 0),
+      (ExpectColumnMeanToBeBetween("x", Some(5.0), Some(6.0)), 1))
+    val (fused, resolve) = sr.fusedFrame(df, Nil, aggExps, _.unexpectedCondition)
+    // both expectations resolve to the SAME aggregate alias
+    assert(resolve((0, "observed")) == resolve((1, "observed")))
+    assert(fused.columns.count(_.startsWith("__agg")) == 1)
+    // and the suite still validates both correctly
+    val r = Graft.validate(df, Suite("t", Seq(
+      ExpectColumnMeanToBeBetween("x", Some(0.0), Some(99.0)),
+      ExpectColumnMeanToBeBetween("x", Some(5.0), Some(6.0)))))
+    assert(r.success)
+  }
+
+  test("transient job failure is retried up to 3 attempts") {
+    import org.apache.spark.sql.functions.{col, udf}
+    EngineSpec.failuresLeft.set(1) // first job attempt dies, second succeeds
+    val flaky = udf((x: Int) => {
+      if (EngineSpec.failuresLeft.getAndDecrement() > 0)
+        throw new RuntimeException("injected transient failure")
+      x
+    })
+    val d = df.withColumn("fx", flaky(col("x")))
+    val r = Graft.validate(d, Suite("t", Seq(
+      ExpectColumnValuesToBeBetween("fx", Some(1), Some(10))))).results.head
+    assert(r.success, r.exception)
+    // a deterministic failure exhausts retries and surfaces the exception
+    EngineSpec.failuresLeft.set(Int.MaxValue)
+    val r2 = Graft.validate(d, Suite("t", Seq(
+      ExpectColumnValuesToBeBetween("fx", Some(1), Some(10))))).results.head
+    assert(!r2.success && r2.exception.isDefined)
+    EngineSpec.failuresLeft.set(0)
+  }
+}
+
+object EngineSpec {
+  /** Shared fault-injection counter for the retry test (local mode: executor
+    * threads share the JVM, so the static is visible to tasks). */
+  val failuresLeft = new java.util.concurrent.atomic.AtomicInteger(0)
 }

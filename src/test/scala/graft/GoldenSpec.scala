@@ -67,8 +67,11 @@ class GoldenSpec extends AnyFunSuite {
       Seq("1", "3", "5", "7", "9"), Seq(0, 2, 4, 6, 8)),
     ("in_set_nulls_excluded",
       ExpectColumnValuesToBeInSet("z", Seq(1, 2, 3, 4)), false, Seq("5"), Seq(4)),
-    ("in_set_empty_set_vacuous",
-      ExpectColumnValuesToBeInSet("alpha", Nil), true, Nil, Nil))
+    // expect_column_values_to_be_in_set.json:54-60 — empty value_set fails
+    // with every non-null value unexpected (only value_set=None is vacuous)
+    ("in_set_empty_set_all_unexpected",
+      ExpectColumnValuesToBeInSet("alpha", Nil), false,
+      ('a' to 'j').map(_.toString), 0 to 9))
 
   betweenCases.foreach { case (title, e, wantSuccess, wantList, wantIdx) =>
     test(s"golden: $title") {
