@@ -10,29 +10,17 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** MinHash signature as ONE native expression: normalizes, shingles
-  * (distinct word 3-grams; whole text when < 3 tokens), and computes k
-  * salted-md5 lexicographic minima in a single pass.
-  *
-  * Exactly equivalent to the Column formulation
-  * (array of k × array_min(transform(shingles, md5("j:" ++ s)))) and to the
-  * DuckDB oracle — but that expression forest made Catalyst
-  * analysis/optimization the bottleneck (~12 s of driver time per
-  * execution at ANY data size). Byte-level identical hashing: JVM
-  * MessageDigest md5 hex == Spark md5() == DuckDB md5().
-  */
-case class MinHashSig(child: Expression, k: Int, n: Int = 3)
-  extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = false
-
-  @transient private lazy val mdLocal =
+/** Shared single-pass MinHash machinery: normalize → distinct word n-gram
+  * shingles → k salted-md5 lexicographic minima. Byte-level identical
+  * hashing across engines: JVM MessageDigest md5 hex == Spark md5() ==
+  * DuckDB md5(). */
+private[functions] object MinHashCore {
+  val mdLocal: ThreadLocal[MessageDigest] =
     new ThreadLocal[MessageDigest] {
       override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
     }
 
-  private def hex(md: MessageDigest, s: String): String = {
+  def hex(md: MessageDigest, s: String): String = {
     val d = md.digest(s.getBytes("UTF-8"))
     val out = new Array[Char](32)
     var i = 0
@@ -45,9 +33,8 @@ case class MinHashSig(child: Expression, k: Int, n: Int = 3)
     new String(out)
   }
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+  /** Distinct word n-gram shingles; degenerate docs → whole-text shingle. */
+  def shingleSet(text: String, n: Int): java.util.LinkedHashSet[String] = {
     val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
     val shingles = new java.util.LinkedHashSet[String]()
     if (toks.length >= n) {
@@ -60,8 +47,13 @@ case class MinHashSig(child: Expression, k: Int, n: Int = 3)
         i += 1
       }
     } else shingles.add(toks.mkString(" "))
+    shingles
+  }
+
+  /** k lexicographic minima of salted md5 digests over the shingle set. */
+  def signature(shingles: java.util.LinkedHashSet[String], k: Int): Array[String] = {
     val md = mdLocal.get()
-    val sig = new Array[Any](k)
+    val sig = new Array[String](k)
     var j = 0
     while (j < k) {
       var min: String = null
@@ -71,10 +63,34 @@ case class MinHashSig(child: Expression, k: Int, n: Int = 3)
         val h = hex(md, salt + it.next())
         if (min == null || h.compareTo(min) < 0) min = h
       }
-      sig(j) = UTF8String.fromString(min)
+      sig(j) = min
       j += 1
     }
-    new GenericArrayData(sig)
+    sig
+  }
+}
+
+/** MinHash signature as ONE native expression: normalizes, shingles
+  * (distinct word 3-grams; whole text when < 3 tokens), and computes k
+  * salted-md5 lexicographic minima in a single pass.
+  *
+  * Exactly equivalent to the Column formulation
+  * (array of k × array_min(transform(shingles, md5("j:" ++ s)))) and to the
+  * DuckDB oracle — but that expression forest made Catalyst
+  * analysis/optimization the bottleneck (~12 s of driver time per
+  * execution at ANY data size).
+  */
+case class MinHashSig(child: Expression, k: Int, n: Int = 3)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    val sig = MinHashCore.signature(MinHashCore.shingleSet(text, n), k)
+    new GenericArrayData(sig.map(s => UTF8String.fromString(s): Any))
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -82,9 +98,76 @@ case class MinHashSig(child: Expression, k: Int, n: Int = 3)
   override def prettyName: String = "minhash_sig"
 }
 
-object MinHashSig {
-  def minhash_sig(c: Column, k: Int): Column = {
-    import org.apache.spark.sql.graftshim.Shims
-    Shims.toColumn(MinHashSig(Shims.toExpression(c), k))
+/** LSH band keys as ONE native expression: the k-hash signature split into
+  * `bands` bands of k/bands rows each; band key = md5 of the '|'-joined
+  * signature slice — exactly `md5(concat_ws("|", sig[b*r+1..b*r+r]))` and
+  * the DuckDB oracle's `md5(g[3b+1] || '|' || ...)`, without handing
+  * Catalyst a bands×rows md5/concat expression forest (which cost ~20 s of
+  * one-time plan/codegen per query at ANY data size). */
+case class MinHashBands(child: Expression, k: Int, bands: Int, n: Int = 3)
+  extends UnaryExpression with CodegenFallback {
+  require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+  private val rowsPerBand = k / bands
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    val sig = MinHashCore.signature(MinHashCore.shingleSet(text, n), k)
+    val md = MinHashCore.mdLocal.get()
+    val keys = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder(sig(b * rowsPerBand))
+      var r = 1
+      while (r < rowsPerBand) {
+        sb.append('|').append(sig(b * rowsPerBand + r)); r += 1
+      }
+      keys(b) = UTF8String.fromString(MinHashCore.hex(md, sb.toString))
+      b += 1
+    }
+    new GenericArrayData(keys)
   }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_bands"
+}
+
+/** Distinct word n-gram shingles as a native expression — same output as
+  * the Column formulation in graft.operators.Dedup.shingles (array_distinct
+  * over transform/sequence/concat_ws) and DuckDB's list_distinct(
+  * list_transform(...)), but a single pass with no expression forest. */
+case class Shingles(child: Expression, n: Int = 3)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+    val set = MinHashCore.shingleSet(text, n)
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+  override def prettyName: String = "shingles"
+}
+
+object MinHashSig {
+  import org.apache.spark.sql.graftshim.Shims
+  def minhash_sig(c: Column, k: Int): Column =
+    Shims.toColumn(MinHashSig(Shims.toExpression(c), k))
+  def minhash_bands(c: Column, k: Int, bands: Int): Column =
+    Shims.toColumn(MinHashBands(Shims.toExpression(c), k, bands))
+  def shingles_native(c: Column, n: Int = 3): Column =
+    Shims.toColumn(Shingles(Shims.toExpression(c), n))
 }

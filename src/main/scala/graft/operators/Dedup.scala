@@ -43,32 +43,78 @@ object Dedup {
     array((0 until k).map(j =>
       array_min(transform(shinglesCol, s => md5(concat(lit(s"$j:"), s))))): _*)
 
+  /** Per-run LSH skew accounting (no silent truncation): buckets whose
+    * size exceeds the cap are dropped from candidate generation and
+    * counted here. */
+  final case class LshStats(droppedBuckets: Long, droppedRows: Long)
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
+  /** Skew defense for banded LSH: a mass-duplicated boilerplate key would
+    * make its per-bucket candidate join quadratic (1M identical docs →
+    * 10¹² pairs in one bucket). Buckets larger than `maxBucket` are
+    * dropped (run `exactDedup` first so true duplicates are already
+    * collapsed), and the drop is counted + logged. The bucket census
+    * shuffles only (band_idx, band_key) pairs. */
+  private def capBuckets(exploded: DataFrame, maxBucket: Int): (DataFrame, LshStats) = {
+    if (maxBucket == Int.MaxValue) (exploded, LshStats(0L, 0L))
+    else {
+      val hot = exploded.groupBy("band_idx", "band_key")
+        .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucket)
+      val r = hot.agg(count(lit(1)).as("nb"),
+        coalesce(sum("__bn"), lit(0L)).as("nr")).head()
+      val stats = LshStats(r.getLong(0), r.getLong(1))
+      if (stats.droppedBuckets > 0)
+        log.warn(s"LSH bucket cap $maxBucket dropped ${stats.droppedBuckets} " +
+          s"hot buckets (${stats.droppedRows} rows) from candidate generation")
+      val capped = exploded.join(
+        broadcast(hot.select("band_idx", "band_key")),
+        Seq("band_idx", "band_key"), "left_anti")
+      (capped, stats)
+    }
+  }
+
   /** MinHash LSH near-duplicate pairs with exact n-gram-Jaccard
     * verification. k hashes split into `bands` bands; docs sharing any
     * band key become candidates; candidates are verified with exact
-    * Jaccard over distinct shingle sets and filtered at `threshold`. */
+    * Jaccard over distinct shingle sets and filtered at `threshold`.
+    *
+    * Scale shape: band keys come from ONE native expression
+    * (minhash_bands) so the candidate shuffle carries only
+    * (doc_id, band_idx, band_key) — never the shingle arrays; shingles are
+    * joined back exactly once per verified candidate side. `maxBucket`
+    * bounds the worst-case bucket join (see capBuckets). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 12, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = k / bands
-    val withSig = df
-      .withColumn("__sh", shingles(col(textCol)))
-      .withColumn("__sig", graft.functions.MinHashSig.minhash_sig(col(textCol), k))
-    val bandKeys = array((0 until bands).map(b =>
-      md5(concat_ws("|", (0 until rowsPerBand).map(r =>
-        element_at(col("__sig"), b * rowsPerBand + r + 1)): _*))): _*)
-    val exploded = withSig.select(col(idCol).as("doc"), col("__sh"),
-      posexplode(bandKeys).as(Seq("band_idx", "band_key")))
-    val a = exploded.toDF("doc_a", "sh_a", "band_idx", "band_key")
-    val b = exploded.toDF("doc_b", "sh_b", "band_idx", "band_key")
+      k: Int = 12, bands: Int = 4, threshold: Double = 0.5,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    minhashLshPairsWithStats(df, idCol, textCol, k, bands, threshold, maxBucket)._1
+
+  def minhashLshPairsWithStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, bands: Int = 4, threshold: Double = 0.5,
+      maxBucket: Int = Int.MaxValue): (DataFrame, LshStats) = {
+    val exploded = df.select(col(idCol).as("doc"),
+      posexplode(graft.functions.MinHashSig.minhash_bands(col(textCol), k, bands))
+        .as(Seq("band_idx", "band_key")))
+    val (capped, stats) = capBuckets(exploded, maxBucket)
+    val a = capped.select(col("doc").as("doc_a"), col("band_idx"), col("band_key"))
+    val b = capped.select(col("doc").as("doc_b"), col("band_idx"), col("band_key"))
     val cand = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
-    val union = (size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) -
-      size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
-    cand.withColumn("jaccard", inter / union)
+    // verification: join the (id, shingles) table back once per side; the
+    // intersection is aliased ONCE so Catalyst evaluates it once per pair
+    val sh = df.select(col(idCol).as("__sid"),
+      graft.functions.MinHashSig.shingles_native(col(textCol)).as("__sh"))
+    val verified = cand
+      .join(sh.select(col("__sid").as("doc_a"), col("__sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("__sid").as("doc_b"), col("__sh").as("sh_b")), "doc_b")
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("jaccard",
+        col("__i") / ((size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    (verified, stats)
   }
 
   /** 60-bit token hash from the md5 hex prefix (cross-engine exact). */
@@ -89,21 +135,31 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: band the 60-bit fingerprint into 4×15-bit
-    * LSH keys, verify candidates by Hamming distance. */
+    * LSH keys, verify candidates by Hamming distance. The fingerprint is
+    * only 8 bytes, so it rides the band shuffle (no join-back needed);
+    * `maxBucket` bounds hot boilerplate buckets (see capBuckets). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6, maxBucket: Int = Int.MaxValue): DataFrame =
+    simhashPairsWithStats(df, idCol, textCol, maxHamming, maxBucket)._1
+
+  def simhashPairsWithStats(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6, maxBucket: Int = Int.MaxValue): (DataFrame, LshStats) = {
     val withFp = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("fp"))
     val bandKeys = array((0 until 4).map(b =>
       shiftright(col("fp"), b * 15).bitwiseAND(lit(32767L))): _*)
     val exploded = withFp.select(col("doc"), col("fp"),
       posexplode(bandKeys).as(Seq("band_idx", "band_key")))
-    val a = exploded.toDF("doc_a", "fp_a", "band_idx", "band_key")
-    val b = exploded.toDF("doc_b", "fp_b", "band_idx", "band_key")
-    a.join(b, Seq("band_idx", "band_key"))
+    val (capped, stats) = capBuckets(exploded, maxBucket)
+    val a = capped.select(col("doc").as("doc_a"), col("fp").as("fp_a"),
+      col("band_idx"), col("band_key"))
+    val b = capped.select(col("doc").as("doc_b"), col("fp").as("fp_b"),
+      col("band_idx"), col("band_key"))
+    val pairs = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast(IntegerType).as("hamming"))
+    (pairs, stats)
   }
 }

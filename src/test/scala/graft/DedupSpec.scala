@@ -28,12 +28,55 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.head.getDouble(2) > 0.8)
   }
 
+  test("native MinHashBands ≡ md5 of '|'-joined signature slices") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sig = graft.functions.MinHashSig.minhash_sig(col("text"), 12)
+    val columnBands = array((0 until 4).map(b =>
+      md5(concat_ws("|", (0 until 3).map(r =>
+        element_at(sig, b * 3 + r + 1)): _*))): _*)
+    val a = d.select(col("doc_id"),
+      graft.functions.MinHashSig.minhash_bands(col("text"), 12, 4).as("bk"))
+    val b = d.select(col("doc_id"), columnBands.as("bk"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("LSH hot-bucket cap drops boilerplate buckets and reports stats") {
+    // 60 identical boilerplate docs (one giant bucket) + one true near-dup
+    // pair of distinct text: the cap must drop the boilerplate candidates
+    // but keep the distinct pair.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val boiler = (100L until 160L).map(i => (i, "spam spam wonderful spam " * 5))
+    val d = (Seq((1L, base), (2L, base + " tail")) ++ boiler).toDF("doc_id", "text")
+    val (pairs, stats) =
+      Dedup.minhashLshPairsWithStats(d, "doc_id", "text", 12, 4, 0.5, maxBucket = 10)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+    assert(stats.droppedBuckets > 0 && stats.droppedRows >= 60)
+    // uncapped finds the boilerplate clique too
+    val all = Dedup.minhashLshPairs(d, "doc_id", "text", 12, 4, 0.5).collect()
+    assert(all.length > 1000) // 60*59/2 boilerplate pairs + the planted one
+    // simhash path shares the cap
+    val (spairs, sstats) =
+      Dedup.simhashPairsWithStats(d, "doc_id", "text", 6, maxBucket = 10)
+    assert(sstats.droppedRows >= 60)
+    assert(!spairs.collect().exists(r => r.getLong(0) >= 100L))
+  }
+
   test("native MinHashSig ≡ Column-formulation signature") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = d.select(col("doc_id"),
       graft.functions.MinHashSig.minhash_sig(col("text"), 12).as("sig"))
     val b = d.select(col("doc_id"),
       Dedup.minhashSignature(Dedup.shingles(col("text")), 12).as("sig"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("native Shingles ≡ Column-formulation shingles") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val a = d.select(col("doc_id"),
+      graft.functions.MinHashSig.shingles_native(col("text")).as("sh"))
+    val b = d.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
