@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
+import Lsh.{LshStats, capBuckets}
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (Array[Float]).
   *
@@ -13,11 +15,13 @@ import org.apache.spark.sql.types._
   * scores are bit-identical to any sequential-summation implementation
   * (including the DuckDB oracle).
   *
-  * Scale path: brute force is O(Q·N) with the queries broadcast (no
-  * shuffle of the corpus); the sign-quantization LSH variant prunes the
-  * corpus to one bucket per query — a bucket-key equi-join that Spark
-  * executes shuffle- or broadcast-hash depending on size, then top-k per
-  * bucket.
+  * Scale paths:
+  *  - brute force is O(Q·N) with the queries broadcast (no shuffle of the
+  *    corpus) and a two-phase top-k so no single reducer sees more than
+  *    ~N/salt · |Q-bucket| rows;
+  *  - the banded sign-LSH variants prune candidates to docs sharing at
+  *    least one of `bands` sign-pattern buckets — equi-joins Spark executes
+  *    shuffle- or broadcast-hash, with a hot-bucket cap for skew.
   */
 object Similarity {
 
@@ -29,59 +33,128 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Sign-quantization bucket for band `band`: bits over dims
+    * [band·bits, (band+1)·bits). bucket = Σ 2^i · [v[band·bits+i] > 0].
+    * Cheap, deterministic, engine-neutral. */
+  def signBandKey(vec: Column, band: Int, bits: Int): Column =
+    (0 until bits).map(i =>
+      // try_element_at: out-of-range dims read null → bit 0 (matches
+      // DuckDB list indexing), so short vectors don't throw under ANSI
+      when(try_element_at(vec, lit(band * bits + i + 1)) > lit(0.0f), lit(1 << i))
+        .otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Back-compat single-band bucket over the first `bits` dimensions. */
+  def signBucket(vec: Column, bits: Int = 8): Column = signBandKey(vec, 0, bits)
+
+  /** (id, band_idx, band_key) table: one row per band per vector. */
+  private def bandTable(df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, bits: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+      posexplode(array((0 until bands).map(b =>
+        signBandKey(col(vecCol), b, bits)): _*)).as(Seq("band_idx", "band_key")))
+
+  /** Deterministic two-phase top-k: phase 1 ranks within
+    * (query, neighbor-salt) groups and keeps k, phase 2 ranks the
+    * k·nSalts survivors per query. Identical output to a single global
+    * window, but no reducer ever materializes a whole query's candidate
+    * list — the skew defense that makes top-k survive a hot bucket or a
+    * 10⁹-row corpus. */
+  private def topKPerQuery(scored: DataFrame, k: Int, nSalts: Int = 32): DataFrame = {
+    val salted = scored.withColumn("__salt", pmod(col("neighbor_id"), lit(nSalts)))
+    val w1 = Window.partitionBy(col("query_id"), col("__salt"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    salted.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(IntegerType).as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded). The query side is broadcast. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    // norms are computed once per vector BEFORE the pair join (bit-identical
+    // to recomputing per pair: same fold), so each pair costs one dot
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2norm(col(vecCol)).as("__cn"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast(IntegerType).as("rank"),
-        col("neighbor_id"), col("cos"))
+      .withColumn("cos", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    topKPerQuery(scored, k)
   }
 
-  /** Sign-quantization LSH bucket over the first `bits` dimensions:
-    * bucket = Σ 2^i · [v[i] > 0]. Cheap, deterministic, engine-neutral. */
-  def signBucket(vec: Column, bits: Int = 8): Column =
-    (0 until bits).map(i =>
-      when(element_at(vec, i + 1) > lit(0.0f), lit(1 << i)).otherwise(lit(0)))
-      .reduce(_ + _)
-
-  /** LSH-bucketed ANN: candidates restricted to the query's sign bucket,
-    * then exact cosine top-k within the bucket. */
+  /** Banded sign-LSH ANN: candidates are corpus vectors sharing at least
+    * one of `bands` sign-pattern buckets with the query (multi-probe
+    * union, deduped), then exact cosine top-k. `maxBucket` drops
+    * pathological buckets (e.g. all-positive embeddings clustering on one
+    * sign pattern) with logged counts. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      bits: Int = 8): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      signBucket(col(vecCol), bits).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      signBucket(col(vecCol), bits).as("bucket"))
-    val scored = c.join(broadcast(q), "bucket")
+      bands: Int = 4, bits: Int = 8,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    lshTopKWithStats(corpus, queries, k, idCol, vecCol, bands, bits, maxBucket)._1
+
+  def lshTopKWithStats(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bands: Int = 4, bits: Int = 8,
+      maxBucket: Int = Int.MaxValue): (DataFrame, LshStats) = {
+    val (cb, stats) = capBuckets(bandTable(corpus, idCol, vecCol, bands, bits), maxBucket)
+    val qb = bandTable(queries, idCol, vecCol, bands, bits)
+      .toDF("query_id", "band_idx", "band_key")
+    val cand = cb.select(col("doc").as("neighbor_id"), col("band_idx"), col("band_key"))
+      .join(broadcast(qb), Seq("band_idx", "band_key"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast(IntegerType).as("rank"),
-        col("neighbor_id"), col("cos"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2norm(col(vecCol)).as("__cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2norm(col(vecCol)).as("__qn"))
+    val scored = cand.join(c, "neighbor_id").join(broadcast(q), "query_id")
+      .withColumn("cos", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    (topKPerQuery(scored, k), stats)
   }
 
-  /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥
-    * threshold. Brute force at test scale; at corpus scale, restrict to
-    * sign-bucket candidates first (see lshTopK). */
+  /** Embedding near-duplicate pairs via banded sign-LSH: all (a<b) pairs
+    * sharing at least one sign-band bucket with exact cosine ≥ threshold.
+    * Candidate generation shuffles only (id, band_idx, band_key); vectors
+    * join back once per verified side — the same candidate/verify shape as
+    * Dedup.minhashLshPairs, and the replacement for the old O(n²)
+    * BroadcastNestedLoopJoin formulation. */
   def embeddingNearDupPairs(df: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = df.select(col(idCol).as("vec_a"), col(vecCol).as("__va"))
-    val b = df.select(col(idCol).as("vec_b"), col(vecCol).as("__vb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bands: Int = 4, bits: Int = 8,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    embeddingNearDupPairsWithStats(df, threshold, idCol, vecCol, bands, bits,
+      maxBucket)._1
+
+  def embeddingNearDupPairsWithStats(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bands: Int = 4, bits: Int = 8,
+      maxBucket: Int = Int.MaxValue): (DataFrame, LshStats) = {
+    val (capped, stats) = capBuckets(bandTable(df, idCol, vecCol, bands, bits), maxBucket)
+    val a = capped.select(col("doc").as("vec_a"), col("band_idx"), col("band_key"))
+    val b = capped.select(col("doc").as("vec_b"), col("band_idx"), col("band_key"))
+    val cand = a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .dropDuplicates("vec_a", "vec_b")
+    val v = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
+      l2norm(col(vecCol)).as("__n"))
+    val verified = cand
+      .join(v.select(col("__vid").as("vec_a"), col("__v").as("__va"),
+        col("__n").as("__na")), "vec_a")
+      .join(v.select(col("__vid").as("vec_b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), "vec_b")
+      .withColumn("cos", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
+    (verified, stats)
   }
 }

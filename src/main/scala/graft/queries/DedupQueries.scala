@@ -46,6 +46,20 @@ object DedupQueries {
     """vecs AS (SELECT * FROM embeddings UNION ALL
       |  SELECT vec_id + 100000, embedding, label FROM embeddings WHERE vec_id % 100 = 0)""".stripMargin
 
+  /** 10× replicated embedding corpus: 10 identical copies with offset ids,
+    * the scale plant for the banded near-dup path (q49) — the corpus the
+    * old all-pairs cartesian formulation could not finish. */
+  private def embs10x(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    (0 until 10).map(j =>
+      e.withColumn("vec_id", col("vec_id") + lit(j * 1000000L)))
+      .reduce(_ unionByName _)
+  }
+  private val embs10xSql =
+    (0 until 10).map(j =>
+      s"SELECT vec_id + ${j * 1000000L} AS vec_id, embedding FROM embeddings")
+      .mkString("vecs AS (", " UNION ALL ", ")")
+
   // --- oracle SQL fragments ---------------------------------------------------
   private val normSql =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -54,6 +68,29 @@ object DedupQueries {
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Sign-band bucket key for band b over 8 dims (Similarity.signBandKey). */
+  private def bandKeySql(v: String, band: Int, bits: Int = 8): String =
+    (0 until bits).map(i =>
+      s"CASE WHEN $v[${band * bits + i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+      .mkString(" + ")
+
+  /** (vec_id, b, bk) band table over `vecs` for 4×8-bit sign bands. */
+  private def bandsSql(bands: Int = 4): String =
+    (0 until bands).map(b =>
+      s"SELECT vec_id, $b AS b, (${bandKeySql("embedding", b)}) AS bk FROM vecs")
+      .mkString("bands AS (", " UNION ALL ", ")")
+
+  /** Banded near-dup pair oracle: candidates share ≥1 sign band, verified
+    * with exact cosine. */
+  private def nearDupOracle(vecsCte: String, threshold: Double): String =
+    s"""WITH $vecsCte,
+       |${bandsSql()},
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.vec_id < b.vec_id),
+       |p AS (SELECT c.vec_a, c.vec_b, ${cosSql("va.embedding", "vb.embedding")} AS cos
+       |  FROM cand c JOIN vecs va ON va.vec_id = c.vec_a JOIN vecs vb ON vb.vec_id = c.vec_b)
+       |SELECT vec_a, vec_b, cos FROM p WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
 
   private val K = 12
   private val Bands = 4
@@ -118,6 +155,9 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
     "q18_dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDupPairs(augEmbs(s, dir), 0.95)
         .orderBy("vec_a", "vec_b")),
+    "q49_dedup_embedding_10x" -> ((s, dir) =>
+      Similarity.embeddingNearDupPairs(embs10x(s, dir), 0.95)
+        .orderBy("vec_a", "vec_b")),
     "q19_sim_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0), 5)
@@ -138,12 +178,8 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
     "q15_dedup_minhash" -> minhashOracle,
     "q16_dedup_simhash_fp" -> simhashFpOracle,
     "q17_dedup_simhash_pairs" -> simhashPairsOracle,
-    "q18_dedup_embedding" ->
-      s"""WITH $augEmbsSql,
-         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  ${cosSql("a.embedding", "b.embedding")} AS cos
-         |  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.95 ORDER BY vec_a, vec_b""".stripMargin,
+    "q18_dedup_embedding" -> nearDupOracle(augEmbsSql, 0.95),
+    "q49_dedup_embedding_10x" -> nearDupOracle(embs10xSql, 0.95),
     "q19_sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
          |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -153,14 +189,18 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q20_sim_lsh" -> {
-      def bucket(v: String) = (0 until 8).map(i =>
-        s"CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END").mkString(" + ")
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
-         |  CAST(${bucket("embedding")} AS INT) AS bucket FROM embeddings WHERE vec_id % 100 = 0),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
-         |  CAST(${bucket("embedding")} AS INT) AS bucket FROM embeddings),
-         |scored AS (SELECT q.query_id, c.neighbor_id, ${cosSql("qv", "cv")} AS cos
-         |  FROM c JOIN q USING (bucket) WHERE c.neighbor_id <> q.query_id),
+      def bt(src: String) = (0 until 4).map(b =>
+        s"SELECT vec_id, $b AS b, (${bandKeySql("embedding", b)}) AS bk FROM $src")
+        .mkString(" UNION ALL ")
+      s"""WITH qv AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+         |qb AS (${bt("qv")}),
+         |cb AS (${bt("embeddings")}),
+         |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM cb JOIN qb ON cb.b = qb.b AND cb.bk = qb.bk AND cb.vec_id <> qb.vec_id),
+         |scored AS (SELECT c.query_id, c.neighbor_id,
+         |  ${cosSql("q.embedding", "e.embedding")} AS cos
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+         |  JOIN qv q ON q.vec_id = c.query_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM r
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
