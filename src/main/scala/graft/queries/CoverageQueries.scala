@@ -130,11 +130,13 @@ object CoverageQueries {
     }),
     "q39_sample_random" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      // sample_using_random(p, seed) (sparkdf_data_sampler.py:43-47):
-      // rand() streams are engine-specific → rows-only check (no oracle).
-      // Layout pinned so the seeded sample is run-to-run deterministic.
-      t(dir, "events").repartition(1).sortWithinPartitions("event_id")
-        .withColumn("r", rand(42)).filter(col("r") < 0.1)
+      // sample_using_random(p, seed) (sparkdf_data_sampler.py:43-47) via
+      // the deterministic md5-threshold variant: rand(seed) streams are
+      // engine- and partitioning-specific, so the oracle-checked sampler
+      // hashes the key instead (sampleRandom keeps the reference-faithful
+      // rand(seed) API for parity).
+      graft.sources.Partitioners.sampleRandomDeterministic(
+          t(dir, "events"), "event_id", 0.1)
         .select(col("event_id"), col("event_type")).orderBy("event_id")
     }),
     "q40_table_head" -> ((s, dir) => {
@@ -234,6 +236,11 @@ object CoverageQueries {
     "q38_length_min_max" ->
       """SELECT CAST(min(length(c_name)) AS INT) AS len_min,
         | CAST(max(length(c_name)) AS INT) AS len_max FROM customer""".stripMargin,
+    "q39_sample_random" ->
+      s"""SELECT event_id, event_type FROM events
+         |WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':0'), 1, 8)) AS BIGINT)
+         |  < ${(0.1 * 4294967296.0).toLong}
+         |ORDER BY event_id""".stripMargin,
     "q40_table_head" ->
       "SELECT * FROM events ORDER BY event_id LIMIT 5")
 }

@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 import graft.operators.Multimodal
 
@@ -14,17 +16,23 @@ object MultimodalQueries {
     Multimodal.mediaFromDocuments(s.read.parquet(s"$dir/documents.parquet"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the feature vector is emitted as a comma-joined string: the driver's
+    // pandas-based compare cannot sort/hash an ARRAY column
     "q25_media_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(media(s, dir)).orderBy("media_id")),
+      Multimodal.extractFeatures(media(s, dir))
+        .select(col("media_id"), col("n_bytes"),
+          array_join(transform(col("feature"), _.cast(StringType)), ",")
+            .as("feature"))
+        .orderBy("media_id")),
     "q26_media_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(media(s, dir), 100).orderBy("media_id")))
 
   val oracles: Map[String, String] = Map(
     "q25_media_features" ->
       """SELECT doc_id AS media_id, CAST(length(text) AS INT) AS n_bytes,
-        | list_transform(generate_series(1, 16), b ->
+        | array_to_string(list_transform(generate_series(1, 16), b ->
         |   CAST(len(list_filter(generate_series(1, length(text)),
-        |        i -> ord(substr(text, i, 1)) % 16 = b - 1)) AS BIGINT)) AS feature
+        |        i -> ord(substr(text, i, 1)) % 16 = b - 1)) AS BIGINT)), ',') AS feature
         |FROM documents ORDER BY media_id""".stripMargin,
     "q26_media_frames" ->
       """SELECT doc_id AS media_id,

@@ -69,6 +69,20 @@ object Partitioners {
   def sampleRandom(df: DataFrame, p: Double, seed: Long): DataFrame =
     df.withColumn("__rand", rand(seed)).filter(col("__rand") < p).drop("__rand")
 
+  /** Deterministic, engine-independent variant of sample_using_random:
+    * keeps a row iff the first 8 md5 hex digits of "key:seed", read as a
+    * fraction of 2³², fall below p. rand(seed) streams are engine- AND
+    * partitioning-specific; this one is reproducible anywhere (same
+    * md5 in Spark, DuckDB, and the JVM) and stable under repartitioning —
+    * the property that matters for resumable sampling at scale. */
+  def sampleRandomDeterministic(df: DataFrame, column: String, p: Double,
+      seed: Long = 0L): DataFrame = {
+    val threshold = (p * 4294967296.0).toLong
+    df.filter(
+      conv(substring(md5(concat(col(column).cast(StringType), lit(s":$seed"))), 1, 8),
+        16, 10).cast(LongType) < lit(threshold))
+  }
+
   def sampleMod(df: DataFrame, column: String, mod: Int, value: Int): DataFrame =
     df.filter(col(column) % mod === value)
 
