@@ -36,6 +36,38 @@ class CheckpointSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("fresh run is one pass: a single Spark job, full per-bucket lineage") {
+    val dir = freshDir()
+    transcripts.count() // materialize any lazy setup outside the window
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = Checkpoint.runResumable(transcripts, dir, buckets = 8,
+        inputPath = "sf0.001")
+      Thread.sleep(500)
+      assert(r.processed == (0 until 8))
+      assert(jobs <= 3, s"fresh run must not scan per bucket (saw $jobs jobs)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val lineage = Checkpoint.committedBuckets(dir)
+    assert(lineage.size == 8)
+    assert(lineage.values.map(_.rowsIn).sum == transcripts.count())
+    assert(Checkpoint.readCommitted(spark, dir).count() ==
+      QualityFilter(transcripts).count())
+  }
+
+  test("resume with mismatched bucket count fails fast") {
+    val dir = freshDir()
+    Checkpoint.runResumable(transcripts, dir, buckets = 4, inputPath = "x")
+    val ex = intercept[IllegalArgumentException] {
+      Checkpoint.runResumable(transcripts, dir, buckets = 8, inputPath = "x")
+    }
+    assert(ex.getMessage.contains("bucket_count=4"))
+  }
+
   test("completed run re-runs as a no-op; lineage metrics are consistent") {
     val dir = freshDir()
     val r1 = Checkpoint.runResumable(transcripts, dir, buckets = 4, inputPath = "sf0.001")
