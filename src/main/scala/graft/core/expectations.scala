@@ -698,31 +698,69 @@ final case class ExpectColumnDistinctValuesToContainSet(column: String, valueSet
 final case class ExpectColumnDistinctValuesToEqualSet(column: String, valueSet: Seq[Any],
     override val rowCondition: Option[String] = None) extends DistinctSetExpectation("equal")
 
+/** Shared KL arithmetic (expect_column_kl_divergence_to_be_less_than.py:
+  * 557-860). `entropy` replicates scipy.stats.entropy(pk, qk): both vectors
+  * are normalized to sum 1, then Σ p·ln(p/q); any p>0 with q=0 → +∞. */
+object KlMath {
+  def entropy(pk: Seq[Double], qk: Seq[Double]): Double = {
+    val ps = pk.sum
+    val qs = qk.sum
+    if (ps == 0.0) return Double.NaN
+    var kl = 0.0
+    var i = 0
+    while (i < pk.length) {
+      val p = pk(i) / ps
+      val q = if (qs == 0.0) 0.0 else qk(i) / qs
+      if (p > 0.0) {
+        if (q == 0.0) return Double.PositiveInfinity
+        kl += p * math.log(p / q)
+      }
+      i += 1
+    }
+    kl
+  }
+
+  /** success/observed shaping: inf/NaN → observed None (reference
+    * serializes None for non-finite divergences), success = kl ≤ threshold. */
+  def evr(expectationType: String, kwargs: Map[String, Any], kl: Double,
+      threshold: Double): Evr = {
+    val ok = !kl.isNaN && kl <= threshold
+    val obs: Any = if (kl.isNaN || kl.isInfinite) null else kl
+    Evr(expectationType, kwargs, ok, Map("observed_value" -> obs))
+  }
+}
+
 /** KL divergence (expect_column_kl_divergence_to_be_less_than.py:110):
   * categorical path — observed value_counts vs a given partition_object of
-  * (values, weights). Missing observed values get 0 weight (∞ divergence
-  * unless the partition covers all observed values). */
+  * (values, weights). Observed values outside the partition drive the
+  * divergence to +∞ unless `tailWeightHoldout` > 0, in which case the
+  * expected weights are scaled by (1 - holdout) and the holdout is split
+  * equally among the unexpected values (reference :648-656). */
 final case class ExpectColumnKlDivergenceToBeLessThan(column: String,
     partitionValues: Seq[Any], partitionWeights: Seq[Double], threshold: Double,
+    tailWeightHoldout: Double = 0.0,
     override val rowCondition: Option[String] = None) extends ValueExpectation {
+  require(tailWeightHoldout >= 0 && tailWeightHoldout <= 1,
+    "tail_weight_holdout must be between zero and one")
   val expectationType = "expect_column_kl_divergence_to_be_less_than"
   def kwargs = Map("column" -> column, "threshold" -> threshold)
   def run(df: DataFrame): Evr = {
     val counts = df.filter(col(column).isNotNull).groupBy(col(column))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
-    val total = counts.values.sum.toDouble
     val expectedW = partitionValues.map(String.valueOf).zip(partitionWeights).toMap
-    val observedOutside = counts.keySet.diff(expectedW.keySet).nonEmpty
-    val kl: Double =
-      if (total == 0) Double.NaN
-      else if (observedOutside) Double.PositiveInfinity
-      else expectedW.map { case (v, q) =>
-        val p = counts.getOrElse(v, 0L) / total
-        if (p == 0.0) 0.0 else p * math.log(p / q)
-      }.sum
-    val ok = !kl.isNaN && kl < threshold
-    Evr(expectationType, kwargs, ok, Map("observed_value" -> kl))
+    val unexpected = counts.keySet.diff(expectedW.keySet).toSeq.sorted
+    // union index, expected-first like the reference's concat
+    val index = partitionValues.map(String.valueOf) ++ unexpected
+    val pk = index.map(v => counts.getOrElse(v, 0L).toDouble)
+    val qk =
+      if (unexpected.isEmpty) index.map(expectedW)
+      else {
+        val fill = tailWeightHoldout / unexpected.size
+        index.map(v => expectedW.get(v).map(_ * (1 - tailWeightHoldout))
+          .getOrElse(fill))
+      }
+    KlMath.evr(expectationType, kwargs, KlMath.entropy(pk, qk), threshold)
   }
 }
 
@@ -742,39 +780,166 @@ final case class ExpectTableRowCountToEqualOtherTable(
 }
 
 /** Continuous-path KL divergence (expect_column_kl_divergence_to_be_less_
-  * than.py:110, continuous partition_object): bucketize by the given bin
-  * edges (column.histogram / column.partition analogue — one fused CASE
-  * aggregation, no Bucketizer dependency) and compare against the expected
-  * per-bin weights. Observed values outside the bins → +∞ divergence. */
+  * than.py:689-860, finite-endpoint case): bucketize by the given bin
+  * edges (one fused CASE aggregation, no Bucketizer dependency) and
+  * compare against the expected per-bin weights.
+  *
+  * Holdouts (the strictness relaxations the reference exposes):
+  *  - `tailWeightHoldout` is split equally between (-∞, min(edges)) and
+  *    (max(edges), +∞); without it any observed value outside the bins
+  *    drives the divergence to +∞;
+  *  - `internalWeightHoldout` is split equally among zero-weight bins;
+  *    without it any value observed in such a bin → +∞. */
 final case class ExpectColumnKlDivergenceContinuousToBeLessThan(column: String,
     binEdges: Seq[Double], binWeights: Seq[Double], threshold: Double,
+    tailWeightHoldout: Double = 0.0, internalWeightHoldout: Double = 0.0,
     override val rowCondition: Option[String] = None) extends ValueExpectation {
   require(binEdges.size == binWeights.size + 1, "need |edges| = |weights| + 1")
+  require(tailWeightHoldout >= 0 && tailWeightHoldout <= 1,
+    "tail_weight_holdout must be between zero and one")
+  require(internalWeightHoldout >= 0 && internalWeightHoldout <= 1,
+    "internal_weight_holdout must be between zero and one")
   val expectationType = "expect_column_kl_divergence_to_be_less_than"
   def kwargs = Map("column" -> column, "threshold" -> threshold,
     "partition" -> "continuous")
   def run(df: DataFrame): Evr = {
     val c = col(column)
+    // ONE aggregate: per-bin counts (np.histogram semantics: last bin
+    // right-closed) + below/above tail counts + nonnull count
     val binCols = binWeights.indices.map { i =>
       val inBin =
         if (i == binWeights.size - 1) c >= binEdges(i) && c <= binEdges(i + 1)
         else c >= binEdges(i) && c < binEdges(i + 1)
       sum(when(c.isNotNull && inBin, 1L).otherwise(0L)).as(s"b$i")
     }
-    val aggs = binCols :+ count(c).as("nn")
+    val aggs = binCols ++ Seq(
+      sum(when(c.isNotNull && c < binEdges.head, 1L).otherwise(0L)).as("below"),
+      sum(when(c.isNotNull && c > binEdges.last, 1L).otherwise(0L)).as("above"),
+      count(c).as("nn"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val counts = binWeights.indices.map(i => row.getAs[Long](s"b$i"))
+    val below = row.getAs[Long]("below")
+    val above = row.getAs[Long]("above")
     val nonnull = row.getAs[Long]("nn")
-    val outside = nonnull - counts.sum
     val kl: Double =
       if (nonnull == 0) Double.NaN
-      else if (outside > 0) Double.PositiveInfinity
-      else binWeights.indices.map { i =>
-        val p = counts(i).toDouble / nonnull
-        if (p == 0.0) 0.0 else p * math.log(p / binWeights(i))
-      }.sum
-    Evr(expectationType, kwargs, !kl.isNaN && kl < threshold,
-      Map("observed_value" -> kl))
+      else {
+        // expected: scale for holdouts, spread internal over zero bins
+        val scaled = binWeights.map(_ *
+          (1 - tailWeightHoldout - internalWeightHoldout))
+        val zeroCount = scaled.count(_ == 0.0)
+        val ew =
+          if (internalWeightHoldout > 0 && zeroCount > 0)
+            scaled.map(w => if (w == 0.0) internalWeightHoldout / zeroCount else w)
+          else scaled
+        val combExpected = (tailWeightHoldout / 2) +: ew :+ (tailWeightHoldout / 2)
+        val combObserved = (below.toDouble / nonnull) +:
+          counts.map(_.toDouble / nonnull) :+ (above.toDouble / nonnull)
+        KlMath.entropy(combObserved, combExpected)
+      }
+    KlMath.evr(expectationType, kwargs, kl, threshold)
+  }
+}
+
+/** column.partition bin strategies (column_partition.py:64-215, the
+  * reference's Spark implementation): `uniform` (equal-width between
+  * min/max), `ntile`/`quantile`/`percentile` (edges at i/n quantiles), and
+  * `auto` (max of Sturges and Freedman-Diaconis bin counts, then uniform).
+  * Quantiles use Spark's EXACT `percentile` (linear interpolation —
+  * identical to DuckDB quantile_cont) rather than approxQuantile so edges
+  * are deterministic and oracle-checkable; swap in approxQuantile via
+  * `relativeError` for 100-TB columns where exactness isn't required. */
+object ColumnPartition {
+  def compute(df: DataFrame, column: String, bins: String = "uniform",
+      nBins: Int = 10, relativeError: Option[Double] = None): Seq[Double] =
+    bins match {
+      case "uniform" => uniform(df, column, nBins)
+      case "ntile" | "quantile" | "percentile" =>
+        quantile(df, column, nBins, relativeError)
+      case "auto" => auto(df, column, relativeError)
+      case other => throw new IllegalArgumentException(
+        s"Invalid parameter for bins argument: $other")
+    }
+
+  /** np.linspace(min, max, n+1) analogue: edge_i = min + (max-min)·i/n. */
+  def uniform(df: DataFrame, column: String, nBins: Int = 10): Seq[Double] = {
+    val r = df.agg(min(col(column)).cast(DoubleType).as("lo"),
+      max(col(column)).cast(DoubleType).as("hi")).head()
+    require(!r.isNullAt(0), s"column.partition: no non-null values in $column")
+    edges(r.getDouble(0), r.getDouble(1), nBins)
+  }
+
+  private def edges(lo: Double, hi: Double, n: Int): Seq[Double] =
+    (0 to n).map(i => lo + (hi - lo) * i / n)
+
+  /** Edges at quantiles 0, 1/n, …, 1 (exact unless relativeError given). */
+  def quantile(df: DataFrame, column: String, nBins: Int = 10,
+      relativeError: Option[Double] = None): Seq[Double] = {
+    val qs = (0 to nBins).map(_.toDouble / nBins)
+    quantilesOf(df, column, qs, relativeError)
+  }
+
+  private def quantilesOf(df: DataFrame, column: String, qs: Seq[Double],
+      relativeError: Option[Double]): Seq[Double] = relativeError match {
+    case Some(err) =>
+      df.stat.approxQuantile(column, qs.toArray, err).toSeq
+    case None =>
+      val r = df.filter(col(column).isNotNull)
+        .agg(percentile(col(column).cast(DoubleType),
+          typedLit(qs)).as("q")).head()
+      r.getAs[scala.collection.Seq[Double]]("q").toSeq
+  }
+
+  /** numpy histogram_bin_edges("auto") port (column_partition.py:169-215):
+    * n_bins = max(⌈sturges⌉, ⌈(max-min)/fd⌉) with fd = 2·iqr/n^(1/3);
+    * IQR < 1e-10 falls back to Sturges alone. */
+  def auto(df: DataFrame, column: String,
+      relativeError: Option[Double] = None): Seq[Double] = {
+    val nonnull = df.filter(col(column).isNotNull).count()
+    require(nonnull > 0, s"column.partition: no non-null values in $column")
+    val Seq(lo, q25, q75, hi) =
+      quantilesOf(df, column, Seq(0.0, 0.25, 0.75, 1.0), relativeError)
+    val sturges = math.log(nonnull.toDouble + 1.0) / math.log(2.0)
+    val iqr = q75 - q25
+    val nBins =
+      if (iqr < 1.0e-10) math.ceil(sturges).toInt
+      else {
+        val fd = (2.0 * iqr) / math.pow(nonnull.toDouble, 1.0 / 3.0)
+        math.max(math.ceil(sturges).toInt, math.ceil((hi - lo) / fd).toInt)
+      }
+    edges(lo, hi, nBins)
+  }
+}
+
+/** Auto-partition KL (expect_column_kl_divergence_to_be_less_than.py:110):
+  * when no partition_object is given, the reference builds one FROM THE
+  * BATCH (bins="auto") and compares the batch against it — the common
+  * profiling default. Kept as its own expectation type since the
+  * partition is data-dependent. */
+final case class ExpectColumnKlDivergenceAutoToBeLessThan(column: String,
+    threshold: Double, bins: String = "auto", nBins: Int = 10,
+    tailWeightHoldout: Double = 0.0, internalWeightHoldout: Double = 0.0,
+    override val rowCondition: Option[String] = None) extends ValueExpectation {
+  val expectationType = "expect_column_kl_divergence_to_be_less_than"
+  def kwargs = Map("column" -> column, "threshold" -> threshold,
+    "partition" -> s"auto:$bins")
+  def run(df: DataFrame): Evr = {
+    val edges = ColumnPartition.compute(df, column, bins, nBins)
+    val c = col(column)
+    val n = edges.size - 1
+    val binCols = (0 until n).map { i =>
+      val inBin =
+        if (i == n - 1) c >= edges(i) && c <= edges(i + 1)
+        else c >= edges(i) && c < edges(i + 1)
+      sum(when(c.isNotNull && inBin, 1L).otherwise(0L)).as(s"b$i")
+    }
+    val aggs = binCols :+ count(c).as("nn")
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val nonnull = row.getAs[Long]("nn")
+    val weights = (0 until n).map(i => row.getAs[Long](s"b$i").toDouble / nonnull)
+    ExpectColumnKlDivergenceContinuousToBeLessThan(column, edges, weights,
+      threshold, tailWeightHoldout, internalWeightHoldout).run(df)
+      .copy(kwargs = kwargs)
   }
 }
 
