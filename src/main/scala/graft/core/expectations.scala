@@ -511,6 +511,15 @@ sealed trait AggExpectation extends Expectation {
 
 /** min/max-between template (expectation.py:1587-1657): null bound = open. */
 object BetweenCheck {
+  /** Bounds are Any so they can carry an unresolved "$param" string until
+    * SuiteParams.resolve runs; a ref reaching evaluation is an error. */
+  def bound(o: Option[Any]): Option[Double] = o.map {
+    case n: Number => n.doubleValue()
+    case s: String if s.startsWith("$") => throw new IllegalArgumentException(
+      s"unresolved suite parameter: $s (call SuiteParams.resolve first)")
+    case other => throw new IllegalArgumentException(
+      s"non-numeric bound: $other")
+  }
   def check(v: Any, minV: Option[Double], maxV: Option[Double],
       strictMin: Boolean = false, strictMax: Boolean = false): Boolean = v match {
     case null => false
@@ -526,8 +535,8 @@ object BetweenCheck {
 sealed abstract class ColumnAggBetween(metric: String, aggFn: Column => Column)
     extends AggExpectation {
   def column: String
-  def minValue: Option[Double]
-  def maxValue: Option[Double]
+  def minValue: Option[Any]
+  def maxValue: Option[Any]
   def strictMin: Boolean = false
   def strictMax: Boolean = false
   val expectationType = s"expect_column_${metric}_to_be_between"
@@ -536,37 +545,38 @@ sealed abstract class ColumnAggBetween(metric: String, aggFn: Column => Column)
   def aggs: Seq[(String, Column)] = Seq("observed" -> aggFn(col(column)))
   def validate(resolved: Map[String, Any]): (Boolean, Any) = {
     val v = resolved("observed")
-    (BetweenCheck.check(v, minValue, maxValue, strictMin, strictMax), v)
+    (BetweenCheck.check(v, BetweenCheck.bound(minValue),
+      BetweenCheck.bound(maxValue), strictMin, strictMax), v)
   }
 }
 
 final case class ExpectColumnMinToBeBetween(column: String,
-    minValue: Option[Double] = None, maxValue: Option[Double] = None,
+    minValue: Option[Any] = None, maxValue: Option[Any] = None,
     override val strictMin: Boolean = false, override val strictMax: Boolean = false,
     override val rowCondition: Option[String] = None)
     extends ColumnAggBetween("min", min)
 final case class ExpectColumnMaxToBeBetween(column: String,
-    minValue: Option[Double] = None, maxValue: Option[Double] = None,
+    minValue: Option[Any] = None, maxValue: Option[Any] = None,
     override val strictMin: Boolean = false, override val strictMax: Boolean = false,
     override val rowCondition: Option[String] = None)
     extends ColumnAggBetween("max", max)
 final case class ExpectColumnSumToBeBetween(column: String,
-    minValue: Option[Double] = None, maxValue: Option[Double] = None,
+    minValue: Option[Any] = None, maxValue: Option[Any] = None,
     override val strictMin: Boolean = false, override val strictMax: Boolean = false,
     override val rowCondition: Option[String] = None)
     extends ColumnAggBetween("sum", sum)
 final case class ExpectColumnMeanToBeBetween(column: String,
-    minValue: Option[Double] = None, maxValue: Option[Double] = None,
+    minValue: Option[Any] = None, maxValue: Option[Any] = None,
     override val strictMin: Boolean = false, override val strictMax: Boolean = false,
     override val rowCondition: Option[String] = None)
     extends ColumnAggBetween("mean", avg)
 final case class ExpectColumnStdevToBeBetween(column: String,
-    minValue: Option[Double] = None, maxValue: Option[Double] = None,
+    minValue: Option[Any] = None, maxValue: Option[Any] = None,
     override val strictMin: Boolean = false, override val strictMax: Boolean = false,
     override val rowCondition: Option[String] = None)
     extends ColumnAggBetween("stdev", stddev_samp)
 final case class ExpectColumnUniqueValueCountToBeBetween(column: String,
-    minValue: Option[Double] = None, maxValue: Option[Double] = None,
+    minValue: Option[Any] = None, maxValue: Option[Any] = None,
     override val rowCondition: Option[String] = None)
     extends ColumnAggBetween("unique_value_count", c => count_distinct(c))
 
@@ -588,14 +598,15 @@ final case class ExpectColumnProportionOfUniqueValuesToBeBetween(column: String,
 }
 
 final case class ExpectTableRowCountToBeBetween(
-    minValue: Option[Double] = None, maxValue: Option[Double] = None,
+    minValue: Option[Any] = None, maxValue: Option[Any] = None,
     override val rowCondition: Option[String] = None) extends AggExpectation {
   val expectationType = "expect_table_row_count_to_be_between"
   def kwargs = Map("min_value" -> minValue.orNull, "max_value" -> maxValue.orNull)
   def aggs = Seq("n" -> count(lit(1)))
   def validate(resolved: Map[String, Any]): (Boolean, Any) = {
     val v = resolved("n")
-    (BetweenCheck.check(v, minValue, maxValue), v)
+    (BetweenCheck.check(v, BetweenCheck.bound(minValue),
+      BetweenCheck.bound(maxValue)), v)
   }
 }
 
@@ -1039,3 +1050,9 @@ final case class UnexpectedRowsExpectation(unexpectedRowsQuery: String)
   val expectationType = "unexpected_rows_expectation"
   def kwargs = Map("unexpected_rows_query" -> unexpectedRowsQuery)
 }
+
+/** Placeholder for an expectation invalidated before evaluation (e.g. an
+  * undefined suite parameter): the runner records it as an exception EVR
+  * without touching the data. */
+final case class InvalidExpectation(expectationType: String,
+    kwargs: Map[String, Any], error: String) extends Expectation

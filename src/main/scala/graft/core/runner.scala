@@ -79,6 +79,8 @@ final class SuiteRunner(
     // -- schema expectations: pure driver-side --------------------------------
     exps.zipWithIndex.foreach {
       case (e: SchemaExpectation, i) => record(i, Try(e.run(df.schema)))
+      case (e: InvalidExpectation, i) =>
+        record(i, Failure(new IllegalArgumentException(e.error)))
       case _ =>
     }
 
@@ -367,11 +369,29 @@ object SuiteRunner {
 }
 
 object Graft {
-  /** Convenience entry point: validate `df` against `suite`. */
+  /** Convenience entry point: validate `df` against `suite`.
+    * `suiteParameters` resolves `$name` placeholders at run time
+    * (SuiteParams; core/suite_parameters.py). */
   def validate(df: DataFrame, suite: Suite,
       resultFormat: ResultFormatSpec = ResultFormatSpec.default,
-      idColumns: Seq[String] = Nil): SuiteResult =
-    new SuiteRunner(resultFormat, idColumns).run(df, suite)
+      idColumns: Seq[String] = Nil,
+      suiteParameters: Map[String, Any] = Map.empty): SuiteResult = {
+    val resolved =
+      if (suiteParameters.isEmpty) suite
+      else SuiteParams.resolve(suite, suiteParameters)
+    new SuiteRunner(resultFormat, idColumns).run(df, resolved)
+  }
+
+  /** FULL (uncapped) unexpected_value_counts metric: counts over ALL
+    * unexpected values as a distributed DataFrame — the COMPLETE-format
+    * companion to the partial counts the EVR carries (reference computes it
+    * in column_map_condition_auxilliary_methods.py:312-353). Sorted by
+    * (-count, value), the Counter.most_common tie-break. */
+  def unexpectedValueCounts(df: DataFrame, e: MapExpectation): DataFrame =
+    df.filter(e.unexpectedCondition)
+      .groupBy(e.unexpectedValue.as("value"))
+      .agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col("value"))
 
   /** EVR list as a DataFrame with a stable, oracle-friendly schema. */
   def resultsToDF(spark: SparkSession, sr: SuiteResult): DataFrame = {

@@ -1,0 +1,150 @@
+package graft.core
+
+/** Suite parameters — `$PARAMETER` late binding
+  * (core/suite_parameters.py:237-330, applied at
+  * validator/v1_validator.py:117-136): a suite is authored once with
+  * "$name" placeholders and resolved against a runtime parameter map just
+  * before validation, so the same suite validates "orders since $start
+  * with quantity ≥ $min_qty" day after day.
+  *
+  * Parameterizable slots in this typed model: every Any-typed value slot
+  * (between bounds — map and aggregate —, value sets, pair value sets),
+  * String pattern slots (regex/like, resolved only when the whole string
+  * is a "$name" ref), row_condition strings and SQL passthroughs (every
+  * "$name" occurrence replaced with a SQL literal). An unresolved "$name"
+  * that survives to evaluation fails that expectation, not the run. */
+object SuiteParams {
+
+  def resolve(suite: Suite, params: Map[String, Any]): Suite =
+    Suite(suite.name, suite.expectations.map { e =>
+      try resolveExp(e, params)
+      catch {
+        case ex: IllegalArgumentException =>
+          // an undefined parameter fails THIS expectation (exception EVR),
+          // not the whole run — same isolation as a missing column
+          InvalidExpectation(e.expectationType, e.kwargs, ex.getMessage)
+      }
+    })
+
+  private def ref(v: Any): Option[String] = v match {
+    case s: String if s.startsWith("$") && s.length > 1 => Some(s.drop(1))
+    case _ => None
+  }
+
+  private def value(params: Map[String, Any])(v: Any): Any = ref(v) match {
+    case Some(name) => params.getOrElse(name,
+      throw new IllegalArgumentException(s"undefined suite parameter: $$$name"))
+    case None => v
+  }
+
+  private def str(params: Map[String, Any])(s: String): String =
+    value(params)(s) match {
+      case out: String => out
+      case other => String.valueOf(other)
+    }
+
+  /** SQL literal rendering for row_condition / query substitution. */
+  private def sqlLit(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case ts: java.sql.Timestamp => s"TIMESTAMP '${ts.toString}'"
+    case d: java.sql.Date => s"DATE '${d.toString}'"
+    case other => String.valueOf(other)
+  }
+
+  private def sql(params: Map[String, Any])(s: String): String =
+    // longest names first so $min_qty is not clobbered by a $min param
+    params.toSeq.sortBy(-_._1.length).foldLeft(s) { case (acc, (k, v)) =>
+      acc.replace("$" + k, sqlLit(v))
+    }
+
+  private def cond(params: Map[String, Any])(c: Option[String]): Option[String] =
+    c.map(sql(params))
+
+  private def resolveExp(e: Expectation, params: Map[String, Any]): Expectation = {
+    val v = value(params) _
+    val vo = (o: Option[Any]) => o.map(v)
+    val st = str(params) _
+    val rc = cond(params) _
+    e match {
+      case x: ExpectColumnValuesToBeBetween =>
+        x.copy(minValue = vo(x.minValue), maxValue = vo(x.maxValue),
+          rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnValuesToBeInSet =>
+        x.copy(valueSet = x.valueSet.map(v), rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnValuesToNotBeInSet =>
+        x.copy(valueSet = x.valueSet.map(v), rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnValuesToMatchRegex =>
+        x.copy(regex = st(x.regex), rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnValuesToNotMatchRegex =>
+        x.copy(regex = st(x.regex), rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnValuesToMatchLikePattern =>
+        x.copy(likePattern = st(x.likePattern), rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnPairValuesToBeInSet =>
+        x.copy(valuePairs = x.valuePairs.map { case (a, b) => (v(a), v(b)) },
+          rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnMinToBeBetween =>
+        x.copy(minValue = vo(x.minValue), maxValue = vo(x.maxValue),
+          rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnMaxToBeBetween =>
+        x.copy(minValue = vo(x.minValue), maxValue = vo(x.maxValue),
+          rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnSumToBeBetween =>
+        x.copy(minValue = vo(x.minValue), maxValue = vo(x.maxValue),
+          rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnMeanToBeBetween =>
+        x.copy(minValue = vo(x.minValue), maxValue = vo(x.maxValue),
+          rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnStdevToBeBetween =>
+        x.copy(minValue = vo(x.minValue), maxValue = vo(x.maxValue),
+          rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnUniqueValueCountToBeBetween =>
+        x.copy(minValue = vo(x.minValue), maxValue = vo(x.maxValue),
+          rowCondition = rc(x.rowCondition))
+      case x: ExpectTableRowCountToBeBetween =>
+        x.copy(minValue = vo(x.minValue), maxValue = vo(x.maxValue),
+          rowCondition = rc(x.rowCondition))
+      case x: UnexpectedRowsExpectation =>
+        x.copy(unexpectedRowsQuery = sql(params)(x.unexpectedRowsQuery))
+      case other if other.rowCondition.exists(_.contains("$")) =>
+        // generic row_condition substitution for the remaining types
+        copyWithRowCondition(other, rc(other.rowCondition))
+      case other => other
+    }
+  }
+
+  private def copyWithRowCondition(e: Expectation,
+      c: Option[String]): Expectation = e match {
+    case x: ExpectColumnValuesToBeNull => x.copy(rowCondition = c)
+    case x: ExpectColumnValuesToNotBeNull => x.copy(rowCondition = c)
+    case x: ExpectColumnValuesToMatchRegexList => x.copy(rowCondition = c)
+    case x: ExpectColumnValuesToNotMatchRegexList => x.copy(rowCondition = c)
+    case x: ExpectColumnValuesToMatchLikePatternList => x.copy(rowCondition = c)
+    case x: ExpectColumnValueLengthsToBeBetween => x.copy(rowCondition = c)
+    case x: ExpectColumnValueLengthsToEqual => x.copy(rowCondition = c)
+    case x: ExpectColumnValuesToBeUnique => x.copy(rowCondition = c)
+    case x: ExpectColumnValuesToBeIncreasing => x.copy(rowCondition = c)
+    case x: ExpectColumnValuesToBeDecreasing => x.copy(rowCondition = c)
+    case x: ExpectColumnValuesToMatchStrftimeFormat => x.copy(rowCondition = c)
+    case x: ExpectColumnValuesToBeJsonParseable => x.copy(rowCondition = c)
+    case x: ExpectColumnValuesToMatchJsonSchema => x.copy(rowCondition = c)
+    case x: ExpectColumnValuesToBeDateutilParseable => x.copy(rowCondition = c)
+    case x: ExpectColumnValueZScoresToBeLessThan => x.copy(rowCondition = c)
+    case x: ExpectColumnPairValuesToBeEqual => x.copy(rowCondition = c)
+    case x: ExpectColumnPairValuesAToBeGreaterThanB => x.copy(rowCondition = c)
+    case x: ExpectCompoundColumnsToBeUnique => x.copy(rowCondition = c)
+    case x: ExpectMulticolumnSumToEqual => x.copy(rowCondition = c)
+    case x: ExpectSelectColumnValuesToBeUniqueWithinRecord => x.copy(rowCondition = c)
+    case x: ExpectColumnProportionOfUniqueValuesToBeBetween => x.copy(rowCondition = c)
+    case x: ExpectTableRowCountToEqual => x.copy(rowCondition = c)
+    case x: ExpectColumnMedianToBeBetween => x.copy(rowCondition = c)
+    case x: ExpectColumnQuantileValuesToBeBetween => x.copy(rowCondition = c)
+    case x: ExpectColumnMostCommonValueToBeInSet => x.copy(rowCondition = c)
+    case x: ExpectColumnDistinctValuesToBeInSet => x.copy(rowCondition = c)
+    case x: ExpectColumnDistinctValuesToContainSet => x.copy(rowCondition = c)
+    case x: ExpectColumnDistinctValuesToEqualSet => x.copy(rowCondition = c)
+    case x: ExpectColumnKlDivergenceToBeLessThan => x.copy(rowCondition = c)
+    case x: ExpectColumnKlDivergenceContinuousToBeLessThan => x.copy(rowCondition = c)
+    case x: ExpectColumnKlDivergenceAutoToBeLessThan => x.copy(rowCondition = c)
+    case other => other // schema expectations have no row condition
+  }
+}

@@ -64,6 +64,27 @@ object Coverage3Queries {
       cases.map { case (n, e) => (n, e.success) }
         .toDF("kl_case", "success").orderBy("kl_case")
     }),
+    "q53_unexpected_value_counts" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // FULL (uncapped) unexpected_value_counts over all unexpected values
+      Graft.unexpectedValueCounts(t(dir, "part"),
+        ExpectColumnValuesToBeInSet("p_brand",
+          Seq("Brand#11", "Brand#12", "Brand#13")))
+        .select(col("value"), col("count").as("n"))
+    }),
+    "q54_batch_definition" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // "validate the latest monthly batch" as engine code
+      val bd = graft.sources.BatchDefinition.monthly("monthly_events", "ts")
+      val ev = t(dir, "events")
+      val p = bd.latestParameters(ev)
+      bd.latestBatch(ev)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_type")).cast("int").as("types"))
+        .select(lit(p("year")).as("y"), lit(p("month")).as("m"),
+          col("n"), col("types"))
+    }),
     "q52_mixed_window_suite" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // one GLOBAL-window monotonic check + 5 fused map expectations: the
@@ -176,6 +197,21 @@ object Coverage3Queries {
   val oracles: Map[String, String] = Map(
     "q50_column_partition" -> q50Oracle,
     "q51_kl_holdouts" -> q51Oracle,
+    "q53_unexpected_value_counts" ->
+      """SELECT p_brand AS value, CAST(count(*) AS BIGINT) AS n FROM part
+        |WHERE p_brand IS NOT NULL
+        |  AND p_brand NOT IN ('Brand#11', 'Brand#12', 'Brand#13')
+        |GROUP BY 1 ORDER BY n DESC, value""".stripMargin,
+    "q54_batch_definition" ->
+      """WITH mx AS (SELECT max(ts) AS t FROM events)
+        |SELECT CAST(year(t) AS INT) AS y, CAST(month(t) AS INT) AS m,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events, mx
+        |     WHERE ts >= date_trunc('month', t)
+        |       AND ts < date_trunc('month', t) + INTERVAL 1 MONTH) AS n,
+        |  (SELECT CAST(count(DISTINCT event_type) AS INT) FROM events, mx
+        |     WHERE ts >= date_trunc('month', t)
+        |       AND ts < date_trunc('month', t) + INTERVAL 1 MONTH) AS types
+        |FROM mx""".stripMargin,
     "q52_mixed_window_suite" -> {
       // resultsToDF emits observed; drop it on the Spark side, so project
       // the same columns here

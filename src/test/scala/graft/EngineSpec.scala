@@ -354,6 +354,42 @@ class EngineSpec extends AnyFunSuite {
     assert(r.success)
   }
 
+  test("suite parameters: $name placeholders resolve to runtime values") {
+    val literal = Suite("s", Seq(
+      ExpectColumnValuesToBeBetween("x", Some(2), Some(9)),
+      ExpectColumnValuesToBeInSet("parity", Seq("even", "odd")),
+      ExpectColumnMeanToBeBetween("x", Some(5.0), Some(6.0)),
+      ExpectTableRowCountToBeBetween(Some(10.0), Some(10.0)),
+      ExpectColumnValuesToBeBetween("x", Some(6), None,
+        rowCondition = Some("parity = 'even'")),
+      UnexpectedRowsExpectation("SELECT * FROM {batch} WHERE x > 9")))
+    val parameterized = Suite("s", Seq(
+      ExpectColumnValuesToBeBetween("x", Some("$min_qty"), Some("$max_qty")),
+      ExpectColumnValuesToBeInSet("parity", Seq("$p1", "$p2")),
+      ExpectColumnMeanToBeBetween("x", Some("$mean_lo"), Some("$mean_hi")),
+      ExpectTableRowCountToBeBetween(Some("$rows"), Some("$rows")),
+      ExpectColumnValuesToBeBetween("x", Some(6), None,
+        rowCondition = Some("parity = $p1")),
+      UnexpectedRowsExpectation("SELECT * FROM {batch} WHERE x > $max_qty")))
+    val params = Map[String, Any]("min_qty" -> 2, "max_qty" -> 9,
+      "p1" -> "even", "p2" -> "odd", "mean_lo" -> 5.0, "mean_hi" -> 6.0,
+      "rows" -> 10.0)
+    val a = Graft.validate(df, literal)
+    val b = Graft.validate(df, parameterized, suiteParameters = params)
+    a.results.zip(b.results).foreach { case (x, y) =>
+      assert(x.success == y.success)
+      assert(x.result.get("unexpected_count") == y.result.get("unexpected_count"))
+      assert(x.result.get("element_count") == y.result.get("element_count"))
+    }
+    // undefined parameter fails that expectation, not the run
+    val sr = Graft.validate(df, Suite("s", Seq(
+      ExpectColumnValuesToBeBetween("x", Some("$nope"), None),
+      ExpectColumnValuesToNotBeNull("x"))),
+      suiteParameters = Map("other" -> 1))
+    assert(!sr.results.head.success && sr.results.head.exception.isDefined)
+    assert(sr.results(1).success)
+  }
+
   test("transient job failure is retried up to 3 attempts") {
     import org.apache.spark.sql.functions.{col, udf}
     EngineSpec.failuresLeft.set(1) // first job attempt dies, second succeeds

@@ -46,6 +46,38 @@ class PartitionersSpec extends AnyFunSuite {
     assert(h.count() > 0 && h.count() < events.count() / 8)
   }
 
+  test("batch definitions: latest batch, identifiers, slices") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.BatchDefinition
+    val daily = BatchDefinition.daily("daily_events", "ts")
+    val latest = daily.latestParameters(events)
+    val mx = events.agg(max(col("ts")).cast("timestamp_ntz")).head()
+      .getAs[java.time.LocalDateTime](0)
+    assert(latest == Map("year" -> mx.getYear, "month" -> mx.getMonthValue,
+      "day" -> mx.getDayOfMonth))
+    val ids = daily.batchIdentifiers(events)
+    assert(ids.last == latest) // ascending sort → last is the latest
+    assert(ids.map(i => daily.batch(events, i).count()).sum == events.count())
+    assert(daily.latestBatch(events).count() ==
+      Partitioners.onYearMonthDay(events, "ts", latest("year"),
+        latest("month"), latest("day")).count())
+    // descending sort → the default batch is the OLDEST (last in order)
+    val monthlyDesc = BatchDefinition.monthly("m", "ts", sortAscending = false)
+    assert(monthlyDesc.batchIdentifiers(events).last ==
+      monthlyDesc.latestParameters(events))
+    assert(BatchDefinition.wholeDataframe("w").latestBatch(events).count() ==
+      events.count())
+  }
+
+  test("deterministic md5 sampler is partitioning-invariant") {
+    val a = Partitioners.sampleRandomDeterministic(events, "event_id", 0.1)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Partitioners.sampleRandomDeterministic(
+        events.repartition(7), "event_id", 0.1)
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty && a.size < events.count())
+  }
+
   test("continuous KL divergence over bins") {
     import spark.implicits._
     val d = (1 to 1000).map(_ % 100 / 100.0).toDF("v") // ~uniform [0,1)
