@@ -200,9 +200,66 @@ final class SuiteRunner(
     val (windowExps, plainExps) = live.partition(_._1.usesWindow)
 
     runMapAggBatch(domainDf, plainExps, aggExps, unexpectedCond, record)
+    val collectIndexes =
+      indexColumns.nonEmpty && resultFormat.rank >= Summary.rank
     windowExps.foreach { case (e, i) =>
-      runMapAggBatch(domainDf, Seq((e, i)), Nil, unexpectedCond, record)
+      e match {
+        // uniqueness = a group count, not a window: groupBy gets map-side
+        // combine and shuffles only (distinct key, count) — the full-row
+        // window shuffle is needed only when per-row INDEXES are requested
+        case (_: ExpectColumnValuesToBeUnique |
+              _: ExpectCompoundColumnsToBeUnique) if !collectIndexes =>
+          runGroupedUnique(domainDf, e, i, record)
+        case _ =>
+          runMapAggBatch(domainDf, Seq((e, i)), Nil, unexpectedCond, record)
+      }
     }
+  }
+
+  /** Uniqueness via groupBy(keys).count: semantically identical to the
+    * count-over-window condition (the window partitions by the same keys),
+    * but partial-aggregated map-side — at scale this shuffles distinct
+    * keys + counts instead of every row. The unexpected-value sample is
+    * rebuilt with row multiplicity (value repeated count times) to match
+    * the reference's per-row partial_unexpected_list. */
+  private def runGroupedUnique(domainDf: DataFrame, e: MapExpectation,
+      idx: Int, record: (Int, Try[Evr]) => Unit): Unit = {
+    val collectValues =
+      resultFormat.rank >= Basic.rank && !resultFormat.excludeUnexpectedValues
+    val cap =
+      if (resultFormat.rank >= Complete.rank) MaxResultRecords
+      else resultFormat.partialUnexpectedCount
+    record(idx, Try {
+      val keyCols = e.domainColumns.map(col)
+      val g = domainDf.groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
+      val missing = e.missingCondition
+      val dup = !missing && col("__cnt") > 1
+      val aggCols = mutable.ArrayBuffer[Column](
+        sum(col("__cnt")).as("__n"),
+        sum(when(missing, col("__cnt")).otherwise(0L)).as("__mc"),
+        sum(when(dup, col("__cnt")).otherwise(0L)).as("__uc"))
+      if (collectValues) {
+        // value + its count collected in lockstep (same row order within
+        // one aggregation buffer), expanded to row multiplicity below
+        aggCols += collect_limited(when(dup, e.unexpectedValue), cap).as("__uv")
+        aggCols += collect_limited(when(dup, col("__cnt").cast(StringType)), cap)
+          .as("__un")
+      }
+      val row = withRetry(g.agg(aggCols.head, aggCols.tail.toSeq: _*).head())
+      val n = Option(row.getAs[Any]("__n")).fold(0L)(_.asInstanceOf[Long])
+      val mc = Option(row.getAs[Any]("__mc")).fold(0L)(_.asInstanceOf[Long])
+      val uc = Option(row.getAs[Any]("__uc")).fold(0L)(_.asInstanceOf[Long])
+      val vals: Seq[String] =
+        if (!collectValues) Nil
+        else {
+          val vs = row.getAs[scala.collection.Seq[String]]("__uv")
+          val cs = row.getAs[scala.collection.Seq[String]]("__un")
+          vs.zip(cs).iterator
+            .flatMap { case (v, c) => Iterator.fill(c.toInt)(v) }
+            .take(cap).toSeq
+        }
+      buildMapEvr(e, n, mc, uc, vals, Nil)
+    })
   }
 
   /** One projection + one aggregate over `domainDf` for the given map and
