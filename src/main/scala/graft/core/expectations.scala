@@ -336,26 +336,20 @@ final case class ExpectColumnValuesToBeJsonParseable(column: String,
   def kwargs = Map("column" -> column, "mostly" -> mostly)
   // NOT try_parse_json: Spark's variant parser accepts trailing tokens
   // ('{"k":1}}' parses), unlike Python json.loads / DuckDB json_valid.
-  def expected(c: Column): Column = {
-    val f = udf((s: String) => s != null && graft.functions.JsonSchema.parseable(s))
-    f(c)
-  }
+  // Native expression (no UDF conversion layer), same Jackson validator.
+  def expected(c: Column): Column = graft.functions.JsonExprs.json_parseable(c)
 }
 
-/** JSON-Schema validation via a Scala UDF over the pure-JVM validator
-  * (graft.functions.JsonSchema) — the reference uses a Python jsonschema
-  * UDF (column_values_match_json_schema.py:42-60). */
+/** JSON-Schema validation via a native expression over the pure-JVM
+  * validator (graft.functions.JsonSchema) — the reference uses a Python
+  * jsonschema UDF (column_values_match_json_schema.py:42-60). */
 final case class ExpectColumnValuesToMatchJsonSchema(column: String,
     jsonSchema: String, mostly: Double = 1.0,
     override val rowCondition: Option[String] = None) extends ColumnMapExpectation {
   val expectationType = "expect_column_values_to_match_json_schema"
   def kwargs = Map("column" -> column, "json_schema" -> jsonSchema, "mostly" -> mostly)
-  def expected(c: Column): Column = {
-    val schema = jsonSchema
-    val f = udf((s: String) =>
-      s != null && graft.functions.JsonSchema.validates(s, schema))
-    f(c)
-  }
+  def expected(c: Column): Column =
+    graft.functions.JsonExprs.json_matches_schema(c, jsonSchema)
 }
 
 final case class ExpectColumnValuesToBeDateutilParseable(column: String,
