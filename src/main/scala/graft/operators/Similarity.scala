@@ -121,6 +121,44 @@ object Similarity {
     (topKPerQuery(scored, k), stats)
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
+    * centroid cell (one broadcast pass — the standard IVF assignment cost,
+    * |corpus|·|centroids| dots with C ≈ √N centroids); each query probes
+    * its `nProbe` nearest cells and ranks candidates by exact cosine.
+    * Centroids are caller-supplied (any deterministic selection or a
+    * trained codebook) and broadcast. Ties break by centroid id, so
+    * results are deterministic and engine-reproducible. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select(col(idCol).as("__cid"), col(vecCol).as("__cv0"),
+      l2norm(col(vecCol)).as("__cn0"))
+    def nearestCells(df: DataFrame, outId: String, n: Int): DataFrame = {
+      val v = df.select(col(idCol).as(outId), col(vecCol).as("__v"),
+        l2norm(col(vecCol)).as("__vn"))
+      val w = Window.partitionBy(col(outId))
+        .orderBy(col("__cc").desc, col("__cid"))
+      v.join(broadcast(cents))
+        .withColumn("__cc", dot(col("__v"), col("__cv0")) / (col("__vn") * col("__cn0")))
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= n)
+        .select(col(outId), col("__cid").as("cell"))
+    }
+    val cells = nearestCells(corpus, "neighbor_id", 1)
+    val probes = nearestCells(queries, "query_id", nProbe)
+    val cand = cells.join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2norm(col(vecCol)).as("__cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2norm(col(vecCol)).as("__qn"))
+    val scored = cand.join(c, "neighbor_id").join(broadcast(q), "query_id")
+      .withColumn("cos", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding near-duplicate pairs via banded sign-LSH: all (a<b) pairs
     * sharing at least one sign-band bucket with exact cosine ≥ threshold.
     * Candidate generation shuffles only (id, band_idx, band_key); vectors

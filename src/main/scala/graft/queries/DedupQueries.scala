@@ -167,6 +167,14 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
       val e = embs(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0), 3)
         .orderBy("query_id", "rank")
+    }),
+    "q55_sim_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e,
+        queries = e.filter(col("vec_id") % 100 === 50),
+        centroids = e.filter(col("vec_id") % 100 === 0),
+        k = 3, nProbe = 2)
+        .orderBy("query_id", "rank")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -188,6 +196,29 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q55_sim_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 100 = 0),
+         |cells AS (SELECT vec_id AS neighbor_id, cid AS cell FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+         |qv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 50),
+         |probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+         |  SELECT q.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.embedding", "c.cv")} DESC, c.cid) AS rn
+         |  FROM qv q CROSS JOIN cents c) t WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT p.query_id, cc.neighbor_id
+         |  FROM cells cc JOIN probes p USING (cell)
+         |  WHERE cc.neighbor_id <> p.query_id),
+         |scored AS (SELECT cand.query_id, cand.neighbor_id,
+         |  ${cosSql("q.embedding", "e.embedding")} AS cos
+         |  FROM cand JOIN embeddings e ON e.vec_id = cand.neighbor_id
+         |  JOIN qv q ON q.vec_id = cand.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q20_sim_lsh" -> {
       def bt(src: String) = (0 until 4).map(b =>
         s"SELECT vec_id, $b AS b, (${bandKeySql("embedding", b)}) AS bk FROM $src")
