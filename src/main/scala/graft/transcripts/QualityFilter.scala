@@ -151,25 +151,36 @@ object QualityFilter {
       .drop("__ts", "__scrub")
   }
 
-  /** Stage 2b: role-sequence window + final keep label (batch only — the
-    * lag window needs the whole conversation; streams use
+  /** Stage 2b: role-sequence validity via the conv_id window (batch only —
+    * the lag window needs the whole conversation; streams use
     * graft.streaming.StreamingValidate.roleSeqStateful instead). */
-  def withRules(df: DataFrame): DataFrame = {
+  def withRoleSeq(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
     val prevRole = lag(col("role"), 1).over(w)
     val roleSeqOk = col("role").isin(AllowedRoles: _*) &&
       (col("turn_idx") =!= 0 || col("role") === "system") &&
       (prevRole.isNull || col("role") =!= prevRole || col("role") === "tool")
-    withRulesStateless(df)
-      .withColumn("role_seq_ok", roleSeqOk)
-      .withColumn("keep",
-        col("lang_ok") && col("ppl_ok") && col("len_ok") && col("symbol_ok") &&
-          col("rep_ok") && col("role_seq_ok") && !col("tox_found"))
+    df.withColumn("role_seq_ok", roleSeqOk)
   }
 
-  /** Full pipeline: transcripts in → per-turn flags + scrubbed text + keep. */
+  private def withKeep(df: DataFrame): DataFrame =
+    df.withColumn("keep",
+      col("lang_ok") && col("ppl_ok") && col("len_ok") && col("symbol_ok") &&
+        col("rep_ok") && col("role_seq_ok") && !col("tox_found"))
+
+  /** Stage 2: stateless rules + role-sequence window + final keep label. */
+  def withRules(df: DataFrame): DataFrame =
+    withKeep(withRulesStateless(withRoleSeq(df)))
+
+  /** Full pipeline: transcripts in → per-turn flags + scrubbed text + keep.
+    *
+    * Stage order matters at scale: the role-seq WINDOW runs first, on the
+    * slim input columns, so the conv_id shuffle moves only the original
+    * turns — not the scrubbed copy + flag columns, which would roughly
+    * double shuffle bytes. All expensive per-row expressions (langid,
+    * token stats, scrub) evaluate post-shuffle in the output stage. */
   def apply(transcripts: DataFrame): DataFrame =
-    withRules(withLangPpl(transcripts))
+    withKeep(withRulesStateless(withLangPpl(withRoleSeq(transcripts))))
 
   /** Conversation-level stats with salted two-phase aggregation: hot
     * conv_ids (10^12-turn scale can put ~10% of turns in a few
