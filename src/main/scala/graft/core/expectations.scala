@@ -360,6 +360,45 @@ final case class ExpectColumnValuesToBeDateutilParseable(column: String,
   def expected(c: Column): Column = try_to_timestamp(c).isNotNull
 }
 
+/** Extension point mirroring the reference's custom-expectation surface
+  * (@column_condition_partial, map_metric_provider/column_condition_partial
+  * .py:41, and the RegexBasedColumnMapExpectation /
+  * SetBasedColumnMapExpectation template classes,
+  * regex_based_column_map_expectation.py:50-120): a user-defined column-map
+  * expectation from a Column=>Column predicate, fused into the suite's
+  * single pass like every built-in. */
+final case class CustomColumnMapExpectation(
+    expectationType: String, column: String, predicate: Column => Column,
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends ColumnMapExpectation {
+  def kwargs = Map("column" -> column, "mostly" -> mostly)
+  def expected(c: Column): Column = predicate(c)
+}
+
+object CustomColumnMapExpectation {
+  /** RegexBasedColumnMapExpectation.register_metric analogue. */
+  def regexBased(expectationType: String, column: String, regex: String,
+      mostly: Double = 1.0): CustomColumnMapExpectation =
+    CustomColumnMapExpectation(expectationType, column, _.rlike(regex), mostly)
+  /** SetBasedColumnMapExpectation analogue
+    * (set_based_column_map_expectation.py:48-139). */
+  def setBased(expectationType: String, column: String, set: Seq[Any],
+      mostly: Double = 1.0): CustomColumnMapExpectation =
+    CustomColumnMapExpectation(expectationType, column,
+      c => if (set.isEmpty) lit(false) else c.isin(set: _*), mostly)
+}
+
+/** Custom multicolumn predicate (@multicolumn_condition_partial). */
+final case class CustomMulticolumnMapExpectation(
+    expectationType: String, columns: Seq[String],
+    predicate: Seq[Column] => Column,
+    ignoreRowIf: IgnoreRowIf = IgnoreRowIf.AllValuesAreMissing,
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    extends MulticolumnMapExpectation {
+  def kwargs = Map("column_list" -> columns, "mostly" -> mostly)
+  def expectedMulti(cs: Seq[Column]): Column = predicate(cs)
+}
+
 /** z-score threshold. Mean/stddev are resolved by the runner in the shared
   * fused aggregate pass and injected as literals before the condition pass
   * (two jobs total for the whole suite, not per expectation) —

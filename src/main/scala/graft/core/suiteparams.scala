@@ -145,6 +145,8 @@ object SuiteParams {
     case x: ExpectColumnKlDivergenceToBeLessThan => x.copy(rowCondition = c)
     case x: ExpectColumnKlDivergenceContinuousToBeLessThan => x.copy(rowCondition = c)
     case x: ExpectColumnKlDivergenceAutoToBeLessThan => x.copy(rowCondition = c)
+    case x: CustomColumnMapExpectation => x.copy(rowCondition = c)
+    case x: CustomMulticolumnMapExpectation => x.copy(rowCondition = c)
     case other => other // schema expectations have no row condition
   }
 }

@@ -354,6 +354,24 @@ class EngineSpec extends AnyFunSuite {
     assert(r.success)
   }
 
+  test("custom expectations fuse like built-ins") {
+    import org.apache.spark.sql.functions.{length => slen}
+    val sr = Graft.validate(df, Suite("custom", Seq(
+      CustomColumnMapExpectation("expect_alpha_short", "alpha", slen(_) <= 1),
+      CustomColumnMapExpectation.regexBased("expect_vowelish", "alpha", "^[a-e]$",
+        mostly = 0.5),
+      CustomColumnMapExpectation.setBased("expect_parity_known", "parity",
+        Seq("even", "odd")),
+      CustomMulticolumnMapExpectation("expect_x_gt_z", Seq("x", "z"),
+        cs => cs(0) >= cs(1)))))
+    assert(sr.results(0).success)
+    assert(sr.results(1).success) // 5 of 10 match ^[a-e]$
+    assert(sr.results(1).result("unexpected_count") == 5L)
+    assert(sr.results(2).success)
+    assert(sr.results(3).success)
+    assert(sr.results(3).result("missing_count") == 0L) // all_missing: none
+  }
+
   test("suite parameters: $name placeholders resolve to runtime values") {
     val literal = Suite("s", Seq(
       ExpectColumnValuesToBeBetween("x", Some(2), Some(9)),
