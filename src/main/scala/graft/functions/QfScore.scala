@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The whole per-turn scoring pass as ONE expression: language-ID +
+  * unigram log-prob (LangPplScore), token statistics (TokenStats), and the
+  * PII/toxicity scrub (ScrubFlags) over a single UTF8String→String decode
+  * and a single character loop for the two tokenizations.
+  *
+  * Exactly equivalent to evaluating the three component expressions
+  * (spec-enforced) — the fusion exists because the pipeline is
+  * DRAM-bandwidth-bound at 32 threads: three separate expressions decode
+  * every text three times and allocate three output rows; this does one of
+  * each. */
+case class QfScore(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  import LangPplScore.{Oov, Stop, Vocab}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("en_hits", IntegerType, nullable = false),
+    StructField("avg_logprob", DoubleType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("n_symbols", IntegerType, nullable = false),
+    StructField("email_found", BooleanType, nullable = false),
+    StructField("phone_found", BooleanType, nullable = false),
+    StructField("ssn_found", BooleanType, nullable = false),
+    StructField("tox_found", BooleanType, nullable = false),
+    StructField("scrubbed_text", StringType, nullable = true)))
+
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val out = new Array[Any](10)
+    if (v == null) {
+      out(0) = 0; out(1) = Oov; out(2) = 0; out(3) = 0; out(4) = 0
+      out(5) = false; out(6) = false; out(7) = false; out(8) = false
+      out(9) = null
+      return InternalRow.fromSeq(out.toIndexedSeq)
+    }
+    val text = v.asInstanceOf[UTF8String].toString
+    val len = text.length
+
+    // one loop, two tokenizations:
+    //  - letter runs (lowercased) for langid/log-prob, as in LangPplScore
+    //  - space-delimited tokens + symbol chars, as in TokenStats
+    var hits = 0
+    var lp = 0.0
+    var nWords = 0
+    var nTokens = 0
+    var nSymbols = 0
+    var tokenStart = -1
+    val seen = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i <= len) {
+      val c = if (i < len) text.charAt(i) else ' '
+      // langid word state
+      val lc =
+        if (c >= 'a' && c <= 'z') c
+        else if (c >= 'A' && c <= 'Z') (c + 32).toChar
+        else 0.toChar
+      if (lc != 0) sb.append(lc)
+      else if (sb.length > 0) {
+        val w = sb.toString
+        sb.setLength(0)
+        nWords += 1
+        if (Stop.contains(w)) hits += 1
+        val p = Vocab.get(w)
+        lp += (if (p == null) Oov else p.doubleValue())
+      }
+      // token-stats state
+      if (c != ' ' && i < len) {
+        if (tokenStart < 0) tokenStart = i
+        val alnum = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9')
+        if (!alnum) nSymbols += 1
+      } else if (tokenStart >= 0) {
+        nTokens += 1
+        seen.add(text.substring(tokenStart, i))
+        tokenStart = -1
+      }
+      i += 1
+    }
+
+    // scrub (same ThreadLocal matchers + replacement order as ScrubFlags)
+    val ms = ScrubFlags.sharedMatchers.get()
+    val email = ms(0).reset(text).find()
+    val ssn = ms(1).reset(text).find()
+    val phone = ms(2).reset(text).find()
+    val tox = ms(3).reset(text).find()
+    var s = text
+    if (email) s = ms(0).reset(s).replaceAll("[EMAIL]")
+    if (ssn) s = ms(1).reset(s).replaceAll("[SSN]")
+    if (phone) s = ms(2).reset(s).replaceAll("[PHONE]")
+    if (tox) s = ms(3).reset(s).replaceAll("[REDACTED]")
+
+    out(0) = hits
+    out(1) = if (nWords == 0) Oov else lp / nWords
+    out(2) = nTokens
+    out(3) = seen.size
+    out(4) = nSymbols
+    out(5) = email; out(6) = phone; out(7) = ssn; out(8) = tox
+    out(9) = if (s eq text) v else UTF8String.fromString(s)
+    InternalRow.fromSeq(out.toIndexedSeq)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QfScore =
+    copy(child = newChild)
+  override def prettyName: String = "qf_score"
+}
+
+object QfScore {
+  def qf_score(c: Column): Column = {
+    import org.apache.spark.sql.graftshim.Shims
+    Shims.toColumn(QfScore(Shims.toExpression(c)))
+  }
+}

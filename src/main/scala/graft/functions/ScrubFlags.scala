@@ -73,9 +73,11 @@ object ScrubFlags {
   private val patterns: Array[Pattern] =
     Array(EmailRe, SsnRe, PhoneRe, ToxRe).map(Pattern.compile)
 
-  private val matchers = new ThreadLocal[Array[Matcher]] {
+  private[functions] val matchers = new ThreadLocal[Array[Matcher]] {
     override def initialValue(): Array[Matcher] = patterns.map(_.matcher(""))
   }
+  /** Shared with the fused QfScore expression. */
+  private[functions] def sharedMatchers: ThreadLocal[Array[Matcher]] = matchers
 
   def scrub_flags(c: Column): Column = {
     import org.apache.spark.sql.graftshim.Shims

@@ -25,7 +25,15 @@ import Lsh.{LshStats, capBuckets}
   */
 object Similarity {
 
+  /** Sequential-fold dot product (native expression; see
+    * graft.functions.DotProduct for the bit-parity argument vs the
+    * zip_with/aggregate Column formulation and the DuckDB oracle). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dot_product(a, b)
+
+  /** The Column formulation the native expression replaces (kept for the
+    * equivalence spec). */
+  private[graft] def dotColumnForm(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 

@@ -168,19 +168,53 @@ object QualityFilter {
       col("lang_ok") && col("ppl_ok") && col("len_ok") && col("symbol_ok") &&
         col("rep_ok") && col("role_seq_ok") && !col("tox_found"))
 
+  private[graft] def withKeepForTest(df: DataFrame): DataFrame = withKeep(df)
+
   /** Stage 2: stateless rules + role-sequence window + final keep label. */
   def withRules(df: DataFrame): DataFrame =
     withKeep(withRulesStateless(withRoleSeq(df)))
+
+  /** All scoring columns from ONE fused expression (graft.functions.
+    * QfScore): langid + log-prob + token stats + scrub over a single text
+    * decode and character loop. Column set identical to
+    * withLangPpl ∘ withRulesStateless (spec-enforced); the staged variants
+    * remain for streaming and for swapping individual models. */
+  def withScoresFused(df: DataFrame): DataFrame = {
+    import graft.functions.QfScore.qf_score
+    val withQ = df.withColumn("__qf", qf_score(col("text")))
+    val nTok = col("__qf.n_tokens")
+    val textLen = length(col("text"))
+    val symRatio = when(textLen === 0, lit(1.0)).otherwise(
+      col("__qf.n_symbols").cast(DoubleType) / textLen.cast(DoubleType))
+    val distinctRatio = when(nTok === 0, lit(0.0)).otherwise(
+      col("__qf.n_distinct").cast(DoubleType) / nTok.cast(DoubleType))
+    withQ
+      .withColumn("lang_ok", col("__qf.en_hits") >= lit(MinStopwordHits))
+      .withColumn("ppl_ok", col("__qf.avg_logprob") >= lit(PplThreshold))
+      .withColumn("avg_logprob", col("__qf.avg_logprob"))
+      .withColumn("n_tokens", nTok)
+      .withColumn("len_ok", nTok.between(3, 64) && textLen <= lit(500))
+      .withColumn("symbol_ok", symRatio <= lit(0.25))
+      .withColumn("rep_ok", nTok < lit(8) || distinctRatio >= lit(0.5))
+      .withColumn("email_found", col("__qf.email_found"))
+      .withColumn("phone_found", col("__qf.phone_found"))
+      .withColumn("ssn_found", col("__qf.ssn_found"))
+      .withColumn("tox_found", col("__qf.tox_found"))
+      .withColumn("scrubbed_text", col("__qf.scrubbed_text"))
+      .withColumn("pii_found",
+        col("email_found") || col("phone_found") || col("ssn_found"))
+      .drop("__qf")
+  }
 
   /** Full pipeline: transcripts in → per-turn flags + scrubbed text + keep.
     *
     * Stage order matters at scale: the role-seq WINDOW runs first, on the
     * slim input columns, so the conv_id shuffle moves only the original
     * turns — not the scrubbed copy + flag columns, which would roughly
-    * double shuffle bytes. All expensive per-row expressions (langid,
-    * token stats, scrub) evaluate post-shuffle in the output stage. */
+    * double shuffle bytes. All expensive per-row work then runs as ONE
+    * fused expression (one text decode) post-shuffle in the output stage. */
   def apply(transcripts: DataFrame): DataFrame =
-    withKeep(withRulesStateless(withLangPpl(withRoleSeq(transcripts))))
+    withKeep(withScoresFused(withRoleSeq(transcripts)))
 
   /** Conversation-level stats with salted two-phase aggregation: hot
     * conv_ids (10^12-turn scale can put ~10% of turns in a few

@@ -109,6 +109,16 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("native dot product ≡ zip_with/aggregate fold, bit-for-bit") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = e.toDF("ia", "va", "la").crossJoin(e.limit(3).toDF("ib", "vb", "lb"))
+    val a = pairs.select(col("ia"), col("ib"),
+      Similarity.dot(col("va"), col("vb")).as("d"))
+    val b = pairs.select(col("ia"), col("ib"),
+      Similarity.dotColumnForm(col("va"), col("vb")).as("d"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("cosine of identical vectors ≈ 1, orthogonal = 0") {
     val d = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
       (3L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")

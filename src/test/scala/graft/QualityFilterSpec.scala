@@ -112,6 +112,19 @@ class QualityFilterSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("fused QfScore pipeline ≡ staged expressions on every column") {
+    val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+    val staged = QualityFilter.withKeepForTest(
+      QualityFilter.withRulesStateless(
+        QualityFilter.withLangPpl(QualityFilter.withRoleSeq(t))))
+    val fused = QualityFilter(t)
+    assert(staged.columns.sorted.toSeq == fused.columns.sorted.toSeq)
+    val cols = fused.columns.sorted.toSeq
+    val a = fused.select(cols.head, cols.tail: _*)
+    val b = staged.select(cols.head, cols.tail: _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("synthesized transcripts: deterministic, ordered, conv-unique") {
     val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
     val n = t.count()
