@@ -56,6 +56,18 @@ object TextFunctions {
       punctRatio(c) <= lit(maxPunct) &&
       avgTokenLen(c).between(minAvgLen, maxAvgLen)
 
+  /** GPT-2-flavored pre-tokenizer pattern (contractions, letter runs,
+    * digit runs, punctuation runs, each with an optional leading space) —
+    * the "BPE-ish" token estimator for LLM-corpus budgeting. ASCII-only
+    * and lookahead-free so Java regex (Spark) and RE2 (DuckDB) agree. */
+  val BpeishRe: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  /** BPE-ish token count: |regexp_extract_all(text, BpeishRe)|. */
+  def nBpeTokens(c: Column): Column =
+    size(regexp_extract_all(coalesce(c, lit("")), lit(BpeishRe), lit(0)))
+      .cast(IntegerType)
+
   private val FpMod = 1000000007L
   private val FpMix = 2654435761L
 

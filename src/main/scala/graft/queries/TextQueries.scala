@@ -32,6 +32,7 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"),
         length(col("text")).cast(IntegerType).as("n_chars_text"),
         nTokens(col("text")).as("n_tokens"),
+        nBpeTokens(col("text")).as("n_bpe_tokens"),
         avgTokenLen(col("text")).as("avg_token_len")).orderBy("doc_id")),
     "q22_text_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -52,7 +53,9 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q21_text_stats" ->
       s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,
-         | $nTokSql AS n_tokens, $avgLenSql AS avg_token_len
+         | $nTokSql AS n_tokens,
+         | CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS INT) AS n_bpe_tokens,
+         | $avgLenSql AS avg_token_len
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q22_text_quality" ->
       s"""SELECT doc_id, $nTokSql AS n_tokens, $punctSql AS punct_ratio,
