@@ -72,4 +72,19 @@ object StreamingValidate {
     // withRules without the role-sequence window: recompute its stateless parts
     QualityFilter.withRulesStateless(scored)
   }
+
+  /** Streaming exact dedup: first occurrence of each normalized-text
+    * digest wins, with state bounded by the event-time watermark
+    * (dropDuplicatesWithinWatermark) — the streaming analogue of
+    * Dedup.exactDedup for continuous ingestion. State holds one 32-byte
+    * digest per distinct doc inside the watermark horizon. */
+  def exactDedupStream(stream: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String): DataFrame =
+    stream
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withColumn("__text_hash",
+        md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__text_hash")
+      .drop("__text_hash")
 }

@@ -46,6 +46,27 @@ class PartitionersSpec extends AnyFunSuite {
     assert(h.count() > 0 && h.count() < events.count() / 8)
   }
 
+  test("range partitioner predicates reach the parquet scan (pushdown)") {
+    import org.apache.spark.sql.functions._
+    def scanOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // range form: ts bounds appear in PushedFilters → row-group pruning
+    val pushed = scanOf(Partitioners.onYearMonth(events, "ts", 2024, 1)
+      .select("event_type"))
+    assert(pushed.contains("PushedFilters"))
+    assert(pushed.contains("GreaterThanOrEqual(ts") ||
+      pushed.contains("GreaterThanOrEqual(`ts`"), pushed.linesIterator
+        .filter(_.contains("PushedFilters")).mkString("\n"))
+    // function form (the reference's year(ts)=y): nothing but IsNotNull pushes
+    val unpushed = scanOf(events
+      .filter(year(col("ts")) === 2024 && month(col("ts")) === 1)
+      .select("event_type"))
+    assert(!unpushed.contains("GreaterThanOrEqual(ts"))
+    // column pruning: a 1-column projection reads a 1-column schema
+    assert(pushed.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("event_type") && !l.contains("user_id")))
+  }
+
   test("batch definitions: latest batch, identifiers, slices") {
     import org.apache.spark.sql.functions._
     import graft.sources.BatchDefinition

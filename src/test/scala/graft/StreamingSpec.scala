@@ -23,6 +23,20 @@ class StreamingSpec extends AnyFunSuite {
     dir
   }
 
+  test("streaming exact dedup keeps one row per normalized text") {
+    val batch = spark.read.parquet(stagingDir)
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "2").parquet(stagingDir)
+    val q = StreamingValidate.exactDedupStream(stream, "text", "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT count(*) FROM dedup").head().getLong(0)
+    val want = batch.select(
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))).distinct().count()
+    assert(got == want)
+  }
+
   test("windowed streaming validation matches batch counts") {
     val batch = spark.read.parquet(stagingDir)
     val stream = spark.readStream.schema(batch.schema)
