@@ -1,0 +1,301 @@
+package graft.core
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Loader for the reference's JSON expectation-suite documents
+  * (`{"expectation_suite_name": ..., "expectations": [{"expectation_type":
+  * ..., "kwargs": {...}}]}` — the on-disk format GE stores suites in, e.g.
+  * tests/test_sets/titanic_parameterized_expectations.json), so existing
+  * suite files run unchanged against this engine.
+  *
+  * `{"$PARAMETER": "name"}` kwarg values map to this engine's "$name"
+  * refs and resolve through SuiteParams at validation time. An unknown
+  * expectation_type or malformed kwargs yields an InvalidExpectation
+  * (exception EVR at run time) rather than failing the whole load —
+  * the same isolation the reference applies per expectation. */
+object SuiteJson {
+
+  private val mapper = new ObjectMapper()
+
+  def fromJson(json: String): Suite = {
+    val root = mapper.readTree(json)
+    val name = Option(root.get("expectation_suite_name"))
+      .map(_.asText()).getOrElse("suite")
+    val exps = Option(root.get("expectations")).toSeq
+      .flatMap(_.elements().asScala)
+      .map(parseExpectation)
+    Suite(name, exps)
+  }
+
+  // --- kwarg readers ----------------------------------------------------------
+
+  /** JSON value → Any, with {"$PARAMETER": "x"} → "$x". */
+  private def value(n: JsonNode): Any = n match {
+    case null => null
+    case _ if n.isNull => null
+    case _ if n.isObject && n.has("$PARAMETER") => "$" + n.get("$PARAMETER").asText()
+    case _ if n.isTextual => n.asText()
+    case _ if n.isIntegralNumber => n.longValue()
+    case _ if n.isNumber => n.doubleValue()
+    case _ if n.isBoolean => n.booleanValue()
+    case _ if n.isArray => n.elements().asScala.map(value).toSeq
+    case other => other.toString
+  }
+
+  private final class Kw(k: JsonNode) {
+    private def node(name: String): Option[JsonNode] =
+      Option(k.get(name)).filterNot(_.isNull)
+    def str(name: String): String = node(name).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException(s"missing kwarg: $name"))
+    def strOpt(name: String): Option[String] = node(name).map(_.asText())
+    def anyOpt(name: String): Option[Any] = node(name).map(value)
+    def seq(name: String): Seq[Any] =
+      node(name).map(value(_).asInstanceOf[Seq[Any]]).getOrElse(Nil)
+    def strSeq(name: String): Seq[String] = seq(name).map(String.valueOf)
+    def dbl(name: String, default: Double): Double =
+      node(name).map(_.asDouble()).getOrElse(default)
+    def dblOpt(name: String): Option[Double] = node(name).map(_.asDouble())
+    def intOpt(name: String): Option[Int] = node(name).map(_.asInt())
+    def bool(name: String, default: Boolean): Boolean =
+      node(name).map(_.asBoolean()).getOrElse(default)
+    def mostly: Double = dbl("mostly", 1.0)
+    def rowCondition: Option[String] = strOpt("row_condition")
+    def ignoreRowIf: IgnoreRowIf =
+      strOpt("ignore_row_if").getOrElse("both_values_are_missing") match {
+        case "both_values_are_missing" => IgnoreRowIf.BothValuesAreMissing
+        case "either_value_is_missing" => IgnoreRowIf.EitherValueIsMissing
+        case "all_values_are_missing" => IgnoreRowIf.AllValuesAreMissing
+        case "any_value_is_missing" => IgnoreRowIf.AnyValueIsMissing
+        case "neither" => IgnoreRowIf.Neither
+        case other => throw new IllegalArgumentException(s"ignore_row_if: $other")
+      }
+    def multiIgnoreRowIf: IgnoreRowIf =
+      strOpt("ignore_row_if").getOrElse("all_values_are_missing") match {
+        case "all_values_are_missing" => IgnoreRowIf.AllValuesAreMissing
+        case "any_value_is_missing" => IgnoreRowIf.AnyValueIsMissing
+        case "neither" => IgnoreRowIf.Neither
+        case other => throw new IllegalArgumentException(s"ignore_row_if: $other")
+      }
+  }
+
+  // --- dispatch ----------------------------------------------------------------
+
+  private def parseExpectation(e: JsonNode): Expectation = {
+    val tp = Option(e.get("expectation_type")).map(_.asText()).getOrElse("unknown")
+    val kwNode = Option(e.get("kwargs"))
+      .getOrElse(mapper.createObjectNode(): JsonNode)
+    val kw = new Kw(kwNode)
+    try build(tp, kw, kwNode)
+    catch {
+      case ex: Exception =>
+        InvalidExpectation(tp, Map("kwargs" -> kwNode.toString),
+          s"cannot load expectation: ${ex.getMessage}")
+    }
+  }
+
+  private def build(tp: String, kw: Kw, kwNode: JsonNode): Expectation = tp match {
+    case "expect_column_values_to_be_null" =>
+      ExpectColumnValuesToBeNull(kw.str("column"), kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_not_be_null" =>
+      ExpectColumnValuesToNotBeNull(kw.str("column"), kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_be_in_set" =>
+      ExpectColumnValuesToBeInSet(kw.str("column"), kw.seq("value_set"),
+        kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_not_be_in_set" =>
+      ExpectColumnValuesToNotBeInSet(kw.str("column"), kw.seq("value_set"),
+        kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_be_between" =>
+      ExpectColumnValuesToBeBetween(kw.str("column"),
+        kw.anyOpt("min_value"), kw.anyOpt("max_value"),
+        kw.bool("strict_min", false), kw.bool("strict_max", false),
+        kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_match_regex" =>
+      ExpectColumnValuesToMatchRegex(kw.str("column"), kw.str("regex"),
+        kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_not_match_regex" =>
+      ExpectColumnValuesToNotMatchRegex(kw.str("column"), kw.str("regex"),
+        kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_match_regex_list" =>
+      ExpectColumnValuesToMatchRegexList(kw.str("column"), kw.strSeq("regex_list"),
+        kw.strOpt("match_on").getOrElse("any"), kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_not_match_regex_list" =>
+      ExpectColumnValuesToNotMatchRegexList(kw.str("column"),
+        kw.strSeq("regex_list"), kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_match_like_pattern" =>
+      ExpectColumnValuesToMatchLikePattern(kw.str("column"),
+        kw.str("like_pattern"), negate = false, kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_not_match_like_pattern" =>
+      ExpectColumnValuesToMatchLikePattern(kw.str("column"),
+        kw.str("like_pattern"), negate = true, kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_match_like_pattern_list" =>
+      ExpectColumnValuesToMatchLikePatternList(kw.str("column"),
+        kw.strSeq("like_pattern_list"), kw.strOpt("match_on").getOrElse("any"),
+        negate = false, kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_not_match_like_pattern_list" =>
+      ExpectColumnValuesToMatchLikePatternList(kw.str("column"),
+        kw.strSeq("like_pattern_list"), kw.strOpt("match_on").getOrElse("any"),
+        negate = true, kw.mostly, kw.rowCondition)
+    case "expect_column_value_lengths_to_be_between" =>
+      ExpectColumnValueLengthsToBeBetween(kw.str("column"),
+        kw.intOpt("min_value"), kw.intOpt("max_value"), kw.mostly, kw.rowCondition)
+    case "expect_column_value_lengths_to_equal" =>
+      ExpectColumnValueLengthsToEqual(kw.str("column"),
+        kw.intOpt("value").get, kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_be_unique" =>
+      ExpectColumnValuesToBeUnique(kw.str("column"), kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_be_increasing" =>
+      ExpectColumnValuesToBeIncreasing(kw.str("column"),
+        kw.bool("strictly", false), mostly = kw.mostly,
+        rowCondition = kw.rowCondition)
+    case "expect_column_values_to_be_decreasing" =>
+      ExpectColumnValuesToBeDecreasing(kw.str("column"),
+        kw.bool("strictly", false), mostly = kw.mostly,
+        rowCondition = kw.rowCondition)
+    case "expect_column_values_to_match_strftime_format" =>
+      ExpectColumnValuesToMatchStrftimeFormat(kw.str("column"),
+        kw.str("strftime_format"), kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_be_json_parseable" =>
+      ExpectColumnValuesToBeJsonParseable(kw.str("column"), kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_match_json_schema" =>
+      val schema = Option(kwNode.get("json_schema")) match {
+        case Some(n) if n.isObject => n.toString
+        case Some(n) => n.asText()
+        case None => throw new IllegalArgumentException("missing kwarg: json_schema")
+      }
+      ExpectColumnValuesToMatchJsonSchema(kw.str("column"), schema,
+        kw.mostly, kw.rowCondition)
+    case "expect_column_values_to_be_dateutil_parseable" =>
+      ExpectColumnValuesToBeDateutilParseable(kw.str("column"), kw.mostly,
+        kw.rowCondition)
+    case "expect_column_value_z_scores_to_be_less_than" =>
+      ExpectColumnValueZScoresToBeLessThan(kw.str("column"),
+        kw.dblOpt("threshold").get, kw.bool("double_sided", true),
+        kw.mostly, kw.rowCondition)
+    case "expect_column_pair_values_to_be_equal" =>
+      ExpectColumnPairValuesToBeEqual(kw.str("column_A"), kw.str("column_B"),
+        kw.ignoreRowIf, kw.mostly, kw.rowCondition)
+    case "expect_column_pair_values_a_to_be_greater_than_b" =>
+      ExpectColumnPairValuesAToBeGreaterThanB(kw.str("column_A"),
+        kw.str("column_B"), kw.bool("or_equal", false), kw.ignoreRowIf,
+        kw.mostly, kw.rowCondition)
+    case "expect_column_pair_values_to_be_in_set" =>
+      val pairs = kw.seq("value_pairs_set").map {
+        case s: Seq[_] if s.size == 2 => (s(0), s(1))
+        case other => throw new IllegalArgumentException(s"bad pair: $other")
+      }
+      ExpectColumnPairValuesToBeInSet(kw.str("column_A"), kw.str("column_B"),
+        pairs, kw.ignoreRowIf, kw.mostly, kw.rowCondition)
+    case "expect_compound_columns_to_be_unique" =>
+      ExpectCompoundColumnsToBeUnique(kw.strSeq("column_list"),
+        kw.multiIgnoreRowIf, kw.mostly, kw.rowCondition)
+    case "expect_multicolumn_sum_to_equal" =>
+      ExpectMulticolumnSumToEqual(kw.strSeq("column_list"),
+        kw.dblOpt("sum_total").get, kw.multiIgnoreRowIf, kw.mostly, kw.rowCondition)
+    case "expect_select_column_values_to_be_unique_within_record" |
+         "expect_multicolumn_values_to_be_unique" =>
+      ExpectSelectColumnValuesToBeUniqueWithinRecord(kw.strSeq("column_list"),
+        kw.multiIgnoreRowIf, kw.mostly, kw.rowCondition)
+    // --- aggregates -----------------------------------------------------------
+    case "expect_column_min_to_be_between" =>
+      ExpectColumnMinToBeBetween(kw.str("column"), kw.anyOpt("min_value"),
+        kw.anyOpt("max_value"), kw.bool("strict_min", false),
+        kw.bool("strict_max", false), kw.rowCondition)
+    case "expect_column_max_to_be_between" =>
+      ExpectColumnMaxToBeBetween(kw.str("column"), kw.anyOpt("min_value"),
+        kw.anyOpt("max_value"), kw.bool("strict_min", false),
+        kw.bool("strict_max", false), kw.rowCondition)
+    case "expect_column_sum_to_be_between" =>
+      ExpectColumnSumToBeBetween(kw.str("column"), kw.anyOpt("min_value"),
+        kw.anyOpt("max_value"), kw.bool("strict_min", false),
+        kw.bool("strict_max", false), kw.rowCondition)
+    case "expect_column_mean_to_be_between" =>
+      ExpectColumnMeanToBeBetween(kw.str("column"), kw.anyOpt("min_value"),
+        kw.anyOpt("max_value"), kw.bool("strict_min", false),
+        kw.bool("strict_max", false), kw.rowCondition)
+    case "expect_column_stdev_to_be_between" =>
+      ExpectColumnStdevToBeBetween(kw.str("column"), kw.anyOpt("min_value"),
+        kw.anyOpt("max_value"), kw.bool("strict_min", false),
+        kw.bool("strict_max", false), kw.rowCondition)
+    case "expect_column_unique_value_count_to_be_between" =>
+      ExpectColumnUniqueValueCountToBeBetween(kw.str("column"),
+        kw.anyOpt("min_value"), kw.anyOpt("max_value"), kw.rowCondition)
+    case "expect_column_proportion_of_unique_values_to_be_between" =>
+      ExpectColumnProportionOfUniqueValuesToBeBetween(kw.str("column"),
+        kw.dblOpt("min_value"), kw.dblOpt("max_value"), kw.rowCondition)
+    case "expect_table_row_count_to_be_between" =>
+      ExpectTableRowCountToBeBetween(kw.anyOpt("min_value"),
+        kw.anyOpt("max_value"), kw.rowCondition)
+    case "expect_table_row_count_to_equal" =>
+      ExpectTableRowCountToEqual(kw.anyOpt("value").get.asInstanceOf[Number]
+        .longValue(), kw.rowCondition)
+    case "expect_column_median_to_be_between" =>
+      ExpectColumnMedianToBeBetween(kw.str("column"), kw.dblOpt("min_value"),
+        kw.dblOpt("max_value"), kw.rowCondition)
+    case "expect_column_quantile_values_to_be_between" =>
+      val qr = kwNode.get("quantile_ranges")
+      val qs = qr.get("quantiles").elements().asScala.map(_.asDouble()).toSeq
+      val ranges = qr.get("value_ranges").elements().asScala.map { r =>
+        val it = r.elements().asScala.toSeq
+        (if (it.head.isNull) None else Some(it.head.asDouble()),
+          if (it(1).isNull) None else Some(it(1).asDouble()))
+      }.toSeq
+      ExpectColumnQuantileValuesToBeBetween(kw.str("column"), qs, ranges,
+        rowCondition = kw.rowCondition)
+    case "expect_column_most_common_value_to_be_in_set" =>
+      ExpectColumnMostCommonValueToBeInSet(kw.str("column"), kw.seq("value_set"),
+        kw.bool("ties_okay", false), kw.rowCondition)
+    case "expect_column_distinct_values_to_be_in_set" =>
+      ExpectColumnDistinctValuesToBeInSet(kw.str("column"), kw.seq("value_set"),
+        kw.rowCondition)
+    case "expect_column_distinct_values_to_contain_set" =>
+      ExpectColumnDistinctValuesToContainSet(kw.str("column"), kw.seq("value_set"),
+        kw.rowCondition)
+    case "expect_column_distinct_values_to_equal_set" =>
+      ExpectColumnDistinctValuesToEqualSet(kw.str("column"), kw.seq("value_set"),
+        kw.rowCondition)
+    case "expect_column_kl_divergence_to_be_less_than" =>
+      val po = Option(kwNode.get("partition_object")).filterNot(_.isNull)
+      val threshold = kw.dblOpt("threshold").getOrElse(Double.PositiveInfinity)
+      val tail = kw.dbl("tail_weight_holdout", 0.0)
+      val internal = kw.dbl("internal_weight_holdout", 0.0)
+      po match {
+        case None =>
+          ExpectColumnKlDivergenceAutoToBeLessThan(kw.str("column"), threshold,
+            tailWeightHoldout = tail, internalWeightHoldout = internal,
+            rowCondition = kw.rowCondition)
+        case Some(p) if p.has("bins") =>
+          val bins = p.get("bins").elements().asScala.map(_.asDouble()).toSeq
+          val weights = p.get("weights").elements().asScala.map(_.asDouble()).toSeq
+          ExpectColumnKlDivergenceContinuousToBeLessThan(kw.str("column"),
+            bins, weights, threshold, tail, internal, kw.rowCondition)
+        case Some(p) =>
+          val values = p.get("values").elements().asScala.map(value).toSeq
+          val weights = p.get("weights").elements().asScala.map(_.asDouble()).toSeq
+          ExpectColumnKlDivergenceToBeLessThan(kw.str("column"), values, weights,
+            threshold, tail, kw.rowCondition)
+      }
+    // --- schema / table shape ---------------------------------------------------
+    case "expect_column_to_exist" =>
+      ExpectColumnToExist(kw.str("column"), kw.intOpt("column_index"))
+    case "expect_column_values_to_be_of_type" =>
+      ExpectColumnValuesToBeOfType(kw.str("column"), kw.str("type_"))
+    case "expect_column_values_to_be_in_type_list" =>
+      ExpectColumnValuesToBeInTypeList(kw.str("column"), kw.strSeq("type_list"))
+    case "expect_table_column_count_to_be_between" =>
+      ExpectTableColumnCountToBeBetween(kw.intOpt("min_value"), kw.intOpt("max_value"))
+    case "expect_table_column_count_to_equal" =>
+      ExpectTableColumnCountToEqual(kw.intOpt("value").get)
+    case "expect_table_columns_to_match_ordered_list" =>
+      ExpectTableColumnsToMatchOrderedList(kw.strSeq("column_list"))
+    case "expect_table_columns_to_match_set" =>
+      ExpectTableColumnsToMatchSet(kw.strSeq("column_set"),
+        kw.bool("exact_match", true))
+    case "unexpected_rows_expectation" | "expect_query_to_return_no_rows" =>
+      UnexpectedRowsExpectation(kw.str("unexpected_rows_query"))
+    case other =>
+      InvalidExpectation(other, Map("kwargs" -> kwNode.toString),
+        s"unknown expectation_type: $other")
+  }
+}
