@@ -61,6 +61,33 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** "Resize" for opaque payloads: keep every `factor`-th byte, emitting a
+    * media-shaped table (media_id, payload, meta) so the result composes
+    * with extractFeatures / sampleFrames — the pipeline shape of an image
+    * resize stage (a real decoder would resample pixels; the byte
+    * decimation is the deterministic stand-in, same batch contract). */
+  def resizePayload(media: DataFrame, factor: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("mime", StringType, nullable = false),
+        StructField("n_chars", IntegerType, nullable = false),
+        StructField("origin", StringType, nullable = true))), nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val resized = payload.indices.by(factor).map(payload).toArray
+        val meta = r.getStruct(metaIdx)
+        Row(r.getLong(idIdx), resized,
+          Row(meta.getString(0), resized.length, meta.getString(2)))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Frame sampling for "video"-shaped payloads: every `stride`-th byte,
     * re-emitted as a sampled payload plus its digest. */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {

@@ -25,7 +25,16 @@ object MultimodalQueries {
             .as("feature"))
         .orderBy("media_id")),
     "q26_media_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(media(s, dir), 100).orderBy("media_id")))
+      Multimodal.sampleFrames(media(s, dir), 100).orderBy("media_id")),
+    // resize composes with feature extraction: resized payload re-enters
+    // the same pipeline (the production contract of a decode→resize→
+    // featurize chain)
+    "q56_media_resize" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.resizePayload(media(s, dir), 7))
+        .select(col("media_id"), col("n_bytes"),
+          array_join(transform(col("feature"), _.cast(StringType)), ",")
+            .as("feature"))
+        .orderBy("media_id")))
 
   val oracles: Map[String, String] = Map(
     "q25_media_features" ->
@@ -39,5 +48,15 @@ object MultimodalQueries {
         | CAST(len(generate_series(1, length(text), 100)) AS INT) AS n_frames,
         | md5(list_aggregate(list_transform(generate_series(1, length(text), 100),
         |   i -> substr(text, i, 1)), 'string_agg', '')) AS sample_digest
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q56_media_resize" ->
+      """WITH resized AS (SELECT doc_id AS media_id,
+        |  list_aggregate(list_transform(generate_series(1, length(text), 7),
+        |    i -> substr(text, i, 1)), 'string_agg', '') AS rt
+        |  FROM documents)
+        |SELECT media_id, CAST(length(rt) AS INT) AS n_bytes,
+        | array_to_string(list_transform(generate_series(1, 16), b ->
+        |   CAST(len(list_filter(generate_series(1, length(rt)),
+        |        i -> ord(substr(rt, i, 1)) % 16 = b - 1)) AS BIGINT)), ',') AS feature
+        |FROM resized ORDER BY media_id""".stripMargin)
 }
