@@ -88,6 +88,45 @@ object Dedup {
     (verified, stats)
   }
 
+  /** Exact n-gram-Jaccard near-dup pairs WITHOUT MinHash: an inverted
+    * index on shingles proposes candidates (docs sharing ≥1 shingle),
+    * exact Jaccard verifies. `maxDf` is the standard stop-shingle pruning:
+    * shingles occurring in more than maxDf docs are dropped from candidate
+    * generation (a boilerplate shingle shared by 1M docs would propose
+    * 10¹² pairs) — any pair at a meaningful Jaccard threshold shares many
+    * non-frequent shingles, so recall is preserved while the index join
+    * stays bounded. Shuffle carries (shingle-hash, doc_id) pairs only;
+    * full shingle sets join back once per verified side. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = df.select(col(idCol).as("__sid"),
+      graft.functions.MinHashSig.shingles_native(col(textCol)).as("__sh"))
+    // inverted index on the shingle md5 (32 bytes, never the shingle text)
+    val posting = sh.select(col("__sid").as("doc"),
+      explode(col("__sh")).as("__s"))
+      .select(col("doc"), md5(col("__s")).as("sh_hash"))
+    val pruned =
+      if (maxDf == Int.MaxValue) posting
+      else {
+        val hot = posting.groupBy("sh_hash")
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
+        posting.join(broadcast(hot.select("sh_hash")), Seq("sh_hash"), "left_anti")
+      }
+    val cand = pruned.select(col("doc").as("doc_a"), col("sh_hash"))
+      .join(pruned.select(col("doc").as("doc_b"), col("sh_hash")), "sh_hash")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .join(sh.select(col("__sid").as("doc_a"), col("__sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("__sid").as("doc_b"), col("__sh").as("sh_b")), "doc_b")
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("jaccard",
+        col("__i") / ((size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** 60-bit token hash from the md5 hex prefix (cross-engine exact). */
   def tokenHash60(w: Column): Column =
     conv(substring(md5(w), 1, 15), 16, 10).cast(LongType)

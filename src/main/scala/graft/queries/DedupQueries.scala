@@ -146,6 +146,9 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
     "q15_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLshPairs(augDocs(s, dir), "doc_id", "text", K, Bands, 0.5)
         .orderBy("doc_a", "doc_b")),
+    "q57_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(augDocs(s, dir), "doc_id", "text", 0.5)
+        .orderBy("doc_a", "doc_b")),
     "q16_dedup_simhash_fp" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
         .orderBy("doc_id")),
@@ -184,6 +187,20 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
          |SELECT md5($normSql) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
          |FROM docs GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "q15_dedup_minhash" -> minhashOracle,
+    "q57_dedup_ngram_jaccard" ->
+      s"""WITH $augDocsSql,
+         |normd AS (SELECT doc_id, string_split($normSql, ' ') AS w, $normSql AS norm FROM docs),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+         |  THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |  ELSE [norm] END) AS s FROM normd),
+         |posting AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM posting a JOIN posting b USING (sg) WHERE a.doc_id < b.doc_id),
+         |j AS (SELECT c.doc_a, c.doc_b,
+         |  CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+         |    / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) AS jaccard
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "q16_dedup_simhash_fp" -> simhashFpOracle,
     "q17_dedup_simhash_pairs" -> simhashPairsOracle,
     "q18_dedup_embedding" -> nearDupOracle(augEmbsSql, 0.95),

@@ -62,6 +62,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!spairs.collect().exists(r => r.getLong(0) >= 100L))
   }
 
+  test("ngram-Jaccard pairs: inverted index finds what minhash finds, maxDf prunes") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val boiler = (100L until 140L).map(i => (i, "spam spam wonderful spam " * 5))
+    val d = (Seq((1L, base), (2L, base + " tail")) ++ boiler).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(got.size > 700) // boilerplate clique found without pruning
+    // stop-shingle pruning drops the boilerplate candidates, keeps the pair
+    val pruned = Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.5, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == Set((1L, 2L)))
+  }
+
   test("native MinHashSig ≡ Column-formulation signature") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = d.select(col("doc_id"),
