@@ -1,0 +1,52 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Checkpoint-style validation runs with an action fan-out
+  * (checkpoint/checkpoint.py + checkpoint/actions.py:106-735, engine-scope
+  * subset): a named list of (batch, suite) validations executed together,
+  * each result pushed through every registered action. Rendering/alerting
+  * actions (Slack, e-mail, data docs) are out of engine scope — the
+  * extension point is the trait; the built-ins cover result storage and
+  * log emission. */
+object SuiteCheckpoint {
+
+  trait ValidationAction {
+    def run(checkpointName: String, sr: SuiteResult): Unit
+  }
+
+  /** StoreValidationResultAction analogue: one GE-shaped JSON document per
+    * suite under `dir`. */
+  final case class StoreResultJson(dir: String) extends ValidationAction {
+    def run(checkpointName: String, sr: SuiteResult): Unit =
+      graft.sources.BatchReader.writeSuiteResultJson(sr,
+        s"$dir/$checkpointName/${sr.suiteName}.json")
+  }
+
+  /** Log-emission action (the notification analogue with no egress). */
+  final case class LogResult(
+      log: String => Unit = m => org.slf4j.LoggerFactory
+        .getLogger("graft.core.SuiteCheckpoint").info(m)) extends ValidationAction {
+    def run(checkpointName: String, sr: SuiteResult): Unit =
+      log(s"checkpoint=$checkpointName suite=${sr.suiteName} " +
+        s"success=${sr.success} " +
+        s"ok=${sr.statistics.successfulExpectations}/" +
+        s"${sr.statistics.evaluatedExpectations}")
+  }
+
+  final case class CheckpointResult(
+      name: String, success: Boolean, results: Seq[SuiteResult])
+
+  /** Run every (batchName, df, suite) validation, fan each result out to
+    * every action, and aggregate overall success — checkpoint.run(). */
+  def run(name: String, validations: Seq[(DataFrame, Suite)],
+      actions: Seq[ValidationAction] = Nil,
+      resultFormat: ResultFormatSpec = ResultFormatSpec.default,
+      suiteParameters: Map[String, Any] = Map.empty): CheckpointResult = {
+    val results = validations.map { case (df, suite) =>
+      Graft.validate(df, suite, resultFormat, suiteParameters = suiteParameters)
+    }
+    results.foreach(sr => actions.foreach(_.run(name, sr)))
+    CheckpointResult(name, results.forall(_.success), results)
+  }
+}

@@ -52,6 +52,23 @@ object EngineProps extends Properties("graft.engine") {
       u1 + u2 == vs.flatten.size
     }
 
+  property("$PARAMETER resolution ≡ literal suite for any numeric bounds") =
+    forAll(genValues, Gen.choose(-5, 5), Gen.choose(6, 15)) { (vs, lo, hi) =>
+      val d = df(vs)
+      val literal = Graft.validate(d, Suite("p", Seq(
+        ExpectColumnValuesToBeBetween("x", Some(lo), Some(hi)),
+        ExpectColumnMeanToBeBetween("x", Some(lo.toDouble), Some(hi.toDouble)))))
+      val params = Graft.validate(d, Suite("p", Seq(
+        ExpectColumnValuesToBeBetween("x", Some("$lo"), Some("$hi")),
+        ExpectColumnMeanToBeBetween("x", Some("$dlo"), Some("$dhi")))),
+        suiteParameters = Map("lo" -> lo, "hi" -> hi,
+          "dlo" -> lo.toDouble, "dhi" -> hi.toDouble))
+      literal.results.zip(params.results).forall { case (a, b) =>
+        a.success == b.success &&
+          a.result.get("unexpected_count") == b.result.get("unexpected_count")
+      }
+    }
+
   property("vacuous truth on empty domains for any map expectation") =
     forAll(Gen.choose(0.0, 1.0)) { m =>
       val empty = List.empty[Option[Int]].toDF("x")

@@ -354,6 +354,23 @@ class EngineSpec extends AnyFunSuite {
     assert(r.success)
   }
 
+  test("checkpoint run fans results out to actions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_run").toString
+    val logged = collection.mutable.ArrayBuffer.empty[String]
+    val r = SuiteCheckpoint.run("nightly",
+      Seq(
+        df -> Suite("s_ok", Seq(ExpectColumnValuesToBeBetween("x", Some(1), Some(10)))),
+        df -> Suite("s_bad", Seq(ExpectColumnValuesToBeBetween("x", Some(1), Some(5))))),
+      actions = Seq(SuiteCheckpoint.StoreResultJson(dir),
+        SuiteCheckpoint.LogResult(logged += _)))
+    assert(!r.success && r.results.head.success && !r.results(1).success)
+    assert(logged.size == 2 && logged.head.contains("suite=s_ok success=true"))
+    val stored = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/nightly/s_bad.json"))
+    assert(stored.contains("\"success\":false"))
+    assert(stored.contains("expect_column_values_to_be_between"))
+  }
+
   test("custom expectations fuse like built-ins") {
     import org.apache.spark.sql.functions.{length => slen}
     val sr = Graft.validate(df, Suite("custom", Seq(
