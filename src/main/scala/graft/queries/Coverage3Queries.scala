@@ -64,6 +64,37 @@ object Coverage3Queries {
       cases.map { case (n, e) => (n, e.success) }
         .toDF("kl_case", "success").orderBy("kl_case")
     }),
+    "q58_pair_equal" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      // pair equal / pair in_set over a derived pair with planted mismatches
+      val d = t(dir, "orders").selectExpr("o_orderkey",
+        "o_orderstatus AS a",
+        "CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS b")
+      val suite = Suite("pair", Seq(
+        ExpectColumnPairValuesToBeEqual("a", "b", mostly = 0.85),
+        ExpectColumnPairValuesToBeInSet("a", "b",
+          Seq(("O", "O"), ("F", "F"), ("P", "P"), ("O", "X"), ("F", "X"), ("P", "X")))))
+      Graft.resultsToDF(s, Graft.validate(d, suite))
+        .drop("observed").orderBy("expectation_type")
+    }),
+    "q59_partitioner_family" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      import graft.sources.Partitioners._
+      val ev = t(dir, "events")
+      // one count per partitioner variant not covered elsewhere
+      val slices: Seq[(String, DataFrame)] = Seq(
+        "whole_table" -> wholeTable(ev),
+        "year" -> onYear(ev, "ts", 2024),
+        "year_month_day" -> onYearMonthDay(ev, "ts", 2024, 1, 2),
+        "column_value" -> onColumnValue(ev, "event_type", "click"),
+        "converted_datetime" -> onConvertedDatetime(ev, "ts", "yyyy-MM-dd", "2024-01-02"),
+        "divided_integer" -> onDividedInteger(ev, "event_id", 100, 2),
+        "multi_column_values" -> onMultiColumnValues(ev,
+          Map("event_type" -> "click", "user_id" -> 3L)))
+      slices.map { case (op, df) => (op, df.count()) }
+        .toDF("op", "n").orderBy("op")
+    }),
     "q53_unexpected_value_counts" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // FULL (uncapped) unexpected_value_counts over all unexpected values
@@ -197,6 +228,39 @@ object Coverage3Queries {
   val oracles: Map[String, String] = Map(
     "q50_column_partition" -> q50Oracle,
     "q51_kl_holdouts" -> q51Oracle,
+    "q58_pair_equal" -> {
+      val derived =
+        """(SELECT o_orderkey, o_orderstatus AS a,
+          |  CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS b
+          |  FROM orders) tt""".stripMargin
+      val inSet =
+        "(a = 'O' AND b = 'O') OR (a = 'F' AND b = 'F') OR (a = 'P' AND b = 'P') OR " +
+          "(a = 'O' AND b = 'X') OR (a = 'F' AND b = 'X') OR (a = 'P' AND b = 'X')"
+      s"""SELECT expectation_type, domain, success, element_count, missing_count, unexpected_count
+         |FROM (${union(Seq(
+               mapSql(MapBranch("expect_column_pair_values_to_be_equal", "a,b",
+                 "NOT (a IS NULL AND b IS NULL) AND NOT (a = b)",
+                 "a IS NULL AND b IS NULL", 0.85, derived)),
+               mapSql(MapBranch("expect_column_pair_values_to_be_in_set", "a,b",
+                 s"NOT (a IS NULL AND b IS NULL) AND NOT ($inSet)",
+                 "a IS NULL AND b IS NULL", 1.0, derived))))}) z
+         |ORDER BY expectation_type""".stripMargin
+    },
+    "q59_partitioner_family" ->
+      """SELECT op, CAST(n AS BIGINT) AS n FROM (
+        | SELECT 'whole_table' AS op, count(*) AS n FROM events
+        | UNION ALL SELECT 'year', count(*) FROM events
+        |   WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2025-01-01'
+        | UNION ALL SELECT 'year_month_day', count(*) FROM events
+        |   WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
+        | UNION ALL SELECT 'column_value', count(*) FROM events WHERE event_type = 'click'
+        | UNION ALL SELECT 'converted_datetime', count(*) FROM events
+        |   WHERE strftime(ts, '%Y-%m-%d') = '2024-01-02'
+        | UNION ALL SELECT 'divided_integer', count(*) FROM events
+        |   WHERE CAST(floor(event_id / 100.0) AS BIGINT) = 2
+        | UNION ALL SELECT 'multi_column_values', count(*) FROM events
+        |   WHERE event_type = 'click' AND user_id = 3
+        |) u ORDER BY op""".stripMargin,
     "q53_unexpected_value_counts" ->
       """SELECT p_brand AS value, CAST(count(*) AS BIGINT) AS n FROM part
         |WHERE p_brand IS NOT NULL
