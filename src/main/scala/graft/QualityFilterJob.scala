@@ -20,10 +20,16 @@ object QualityFilterJob {
     require(args.length >= 2, "usage: QualityFilterJob <input> <outDir> [buckets]")
     val (input, outDir) = (args(0), args(1))
     val buckets = if (args.length > 2) args(2).toInt else 64
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-quality-filter")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // spark-submit provides the master on a cluster; SPARK_GRAFT_CPUS
+    // enables the same binary to run locally (tests / sandboxes)
+    sys.env.get("SPARK_GRAFT_CPUS").foreach { c =>
+      builder.master(s"local[$c]")
+        .config("spark.sql.shuffle.partitions", (c.toInt * 3).toString)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val transcripts =
       if (new java.io.File(s"$input/events.parquet").exists())
