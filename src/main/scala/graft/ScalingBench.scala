@@ -46,7 +46,9 @@ object ScalingBench {
       val secs = (1 to runs).map { _ =>
         Bench.timed(Bench.consume(QualityFilter(transcripts)))
       }.min
-      Thread.sleep(500)
+      // listener-bus delivery is async; drain before detaching or the last
+      // run's task metrics undercount (CLAUDE.md gotcha: ~1s minimum)
+      Thread.sleep(2000)
       spark.sparkContext.removeSparkListener(listener)
       val cpuPerTurn = cpuNs.get().toDouble / runs / turns
       transcripts.unpersist()

@@ -772,6 +772,29 @@ object KlMath {
     val obs: Any = if (kl.isNaN || kl.isInfinite) null else kl
     Evr(expectationType, kwargs, ok, Map("observed_value" -> obs))
   }
+
+  /** Finite-endpoint continuous KL from resolved histogram counts
+    * (expect_column_kl_divergence_to_be_less_than.py:689-860): expected
+    * weights scaled for holdouts (internal spread over zero bins, tail
+    * split across the two tails), observed = counts/nonnull with
+    * below/above-partition tails, then scipy-normalized entropy. */
+  def continuousFromCounts(counts: Seq[Long], below: Long, above: Long,
+      nonnull: Long, weights: Seq[Double], tailWeightHoldout: Double,
+      internalWeightHoldout: Double): Double =
+    if (nonnull == 0) Double.NaN
+    else {
+      val scaled = weights.map(_ *
+        (1 - tailWeightHoldout - internalWeightHoldout))
+      val zeroCount = scaled.count(_ == 0.0)
+      val ew =
+        if (internalWeightHoldout > 0 && zeroCount > 0)
+          scaled.map(w => if (w == 0.0) internalWeightHoldout / zeroCount else w)
+        else scaled
+      val combExpected = (tailWeightHoldout / 2) +: ew :+ (tailWeightHoldout / 2)
+      val combObserved = (below.toDouble / nonnull) +:
+        counts.map(_.toDouble / nonnull) :+ (above.toDouble / nonnull)
+      entropy(combObserved, combExpected)
+    }
 }
 
 /** KL divergence (expect_column_kl_divergence_to_be_less_than.py:110):
@@ -862,25 +885,10 @@ final case class ExpectColumnKlDivergenceContinuousToBeLessThan(column: String,
       count(c).as("nn"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val counts = binWeights.indices.map(i => row.getAs[Long](s"b$i"))
-    val below = row.getAs[Long]("below")
-    val above = row.getAs[Long]("above")
-    val nonnull = row.getAs[Long]("nn")
-    val kl: Double =
-      if (nonnull == 0) Double.NaN
-      else {
-        // expected: scale for holdouts, spread internal over zero bins
-        val scaled = binWeights.map(_ *
-          (1 - tailWeightHoldout - internalWeightHoldout))
-        val zeroCount = scaled.count(_ == 0.0)
-        val ew =
-          if (internalWeightHoldout > 0 && zeroCount > 0)
-            scaled.map(w => if (w == 0.0) internalWeightHoldout / zeroCount else w)
-          else scaled
-        val combExpected = (tailWeightHoldout / 2) +: ew :+ (tailWeightHoldout / 2)
-        val combObserved = (below.toDouble / nonnull) +:
-          counts.map(_.toDouble / nonnull) :+ (above.toDouble / nonnull)
-        KlMath.entropy(combObserved, combExpected)
-      }
+    val kl = KlMath.continuousFromCounts(counts,
+      row.getAs[Long]("below"), row.getAs[Long]("above"),
+      row.getAs[Long]("nn"), binWeights,
+      tailWeightHoldout, internalWeightHoldout)
     KlMath.evr(expectationType, kwargs, kl, threshold)
   }
 }
@@ -936,20 +944,34 @@ object ColumnPartition {
 
   /** numpy histogram_bin_edges("auto") port (column_partition.py:169-215):
     * n_bins = max(⌈sturges⌉, ⌈(max-min)/fd⌉) with fd = 2·iqr/n^(1/3);
-    * IQR < 1e-10 falls back to Sturges alone. */
+    * IQR < 1e-10 falls back to Sturges alone.
+    *
+    * ⌈log2(n+1)⌉ is computed as bitLength(n) — EXACT integer arithmetic
+    * (identical to DuckDB's length(bin(n))), where ceil over a libm log
+    * could flip by one when n+1 sits within an ulp of a power of two.
+    * The exact path is ONE aggregate (quantiles + count fused). */
   def auto(df: DataFrame, column: String,
       relativeError: Option[Double] = None): Seq[Double] = {
-    val nonnull = df.filter(col(column).isNotNull).count()
+    val (nonnull, qs) = relativeError match {
+      case Some(err) =>
+        (df.filter(col(column).isNotNull).count(),
+          df.stat.approxQuantile(column, Array(0.0, 0.25, 0.75, 1.0), err).toSeq)
+      case None =>
+        val r = df.filter(col(column).isNotNull)
+          .agg(count(lit(1)).as("n"),
+            percentile(col(column).cast(DoubleType),
+              typedLit(Seq(0.0, 0.25, 0.75, 1.0))).as("q")).head()
+        (r.getAs[Long]("n"), r.getAs[scala.collection.Seq[Double]]("q").toSeq)
+    }
     require(nonnull > 0, s"column.partition: no non-null values in $column")
-    val Seq(lo, q25, q75, hi) =
-      quantilesOf(df, column, Seq(0.0, 0.25, 0.75, 1.0), relativeError)
-    val sturges = math.log(nonnull.toDouble + 1.0) / math.log(2.0)
+    val Seq(lo, q25, q75, hi) = qs
+    val sturgesBins = 64 - java.lang.Long.numberOfLeadingZeros(nonnull) // bitLength
     val iqr = q75 - q25
     val nBins =
-      if (iqr < 1.0e-10) math.ceil(sturges).toInt
+      if (iqr < 1.0e-10) sturgesBins
       else {
         val fd = (2.0 * iqr) / math.pow(nonnull.toDouble, 1.0 / 3.0)
-        math.max(math.ceil(sturges).toInt, math.ceil((hi - lo) / fd).toInt)
+        math.max(sturgesBins, math.ceil((hi - lo) / fd).toInt)
       }
     edges(lo, hi, nBins)
   }
@@ -971,19 +993,27 @@ final case class ExpectColumnKlDivergenceAutoToBeLessThan(column: String,
     val edges = ColumnPartition.compute(df, column, bins, nBins)
     val c = col(column)
     val n = edges.size - 1
+    // ONE histogram aggregate serves as both the partition weights and the
+    // observed counts (the reference's auto path compares the batch against
+    // a partition built from itself — no second bucketize pass needed)
     val binCols = (0 until n).map { i =>
       val inBin =
         if (i == n - 1) c >= edges(i) && c <= edges(i + 1)
         else c >= edges(i) && c < edges(i + 1)
       sum(when(c.isNotNull && inBin, 1L).otherwise(0L)).as(s"b$i")
     }
-    val aggs = binCols :+ count(c).as("nn")
+    val aggs = binCols ++ Seq(
+      sum(when(c.isNotNull && c < edges.head, 1L).otherwise(0L)).as("below"),
+      sum(when(c.isNotNull && c > edges.last, 1L).otherwise(0L)).as("above"),
+      count(c).as("nn"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val nonnull = row.getAs[Long]("nn")
-    val weights = (0 until n).map(i => row.getAs[Long](s"b$i").toDouble / nonnull)
-    ExpectColumnKlDivergenceContinuousToBeLessThan(column, edges, weights,
-      threshold, tailWeightHoldout, internalWeightHoldout).run(df)
-      .copy(kwargs = kwargs)
+    val counts = (0 until n).map(i => row.getAs[Long](s"b$i"))
+    val weights = counts.map(_.toDouble / nonnull)
+    val kl = KlMath.continuousFromCounts(counts,
+      row.getAs[Long]("below"), row.getAs[Long]("above"), nonnull, weights,
+      tailWeightHoldout, internalWeightHoldout)
+    KlMath.evr(expectationType, kwargs, kl, threshold)
   }
 }
 

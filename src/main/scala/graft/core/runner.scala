@@ -90,8 +90,12 @@ final class SuiteRunner(
       case (e: AggExpectation, i) => (e: Expectation, i)
     }
     fuseable.groupBy(_._1.rowCondition).foreach { case (cond, group) =>
-      val domainDf = cond.map(df.filter).getOrElse(df)
-      runFusedDomain(domainDf, group, record)
+      // an unparseable row_condition (bad SQL, unresolved $param) fails
+      // only ITS domain group, not the whole run
+      Try(cond.map(df.filter).getOrElse(df)) match {
+        case Success(domainDf) => runFusedDomain(domainDf, group, record)
+        case Failure(ex) => group.foreach { case (_, i) => record(i, Failure(ex)) }
+      }
     }
 
     // -- VALUE expectations: one small job each -------------------------------
@@ -211,6 +215,10 @@ final class SuiteRunner(
               _: ExpectCompoundColumnsToBeUnique) if !collectIndexes =>
           runGroupedUnique(domainDf, e, i, record)
         case _ =>
+          if (e.usesGlobalWindow)
+            SuiteRunner.log.warn(s"${e.expectationType}: unpartitioned " +
+              "window — evaluating on a single partition (reference " +
+              "semantics; pass partitionBy for a shuffle-parallel check)")
           runMapAggBatch(domainDf, Seq((e, i)), Nil, unexpectedCond, record)
       }
     }
@@ -255,7 +263,10 @@ final class SuiteRunner(
           val vs = row.getAs[scala.collection.Seq[String]]("__uv")
           val cs = row.getAs[scala.collection.Seq[String]]("__un")
           vs.zip(cs).iterator
-            .flatMap { case (v, c) => Iterator.fill(c.toInt)(v) }
+            // cap BEFORE toInt: a >2^31-row duplicate group must not NFE
+            .flatMap { case (v, c) =>
+              Iterator.fill(math.min(c.toLong, cap.toLong).toInt)(v)
+            }
             .take(cap).toSeq
         }
       buildMapEvr(e, n, mc, uc, vals, Nil)
@@ -423,6 +434,7 @@ final class SuiteRunner(
 object SuiteRunner {
   /** validation_graph.py:48 MAX_METRIC_COMPUTATION_RETRIES = 3. */
   val MaxAttempts = 3
+  private[core] val log = org.slf4j.LoggerFactory.getLogger(classOf[SuiteRunner])
 }
 
 object Graft {
@@ -433,9 +445,11 @@ object Graft {
       resultFormat: ResultFormatSpec = ResultFormatSpec.default,
       idColumns: Seq[String] = Nil,
       suiteParameters: Map[String, Any] = Map.empty): SuiteResult = {
-    val resolved =
-      if (suiteParameters.isEmpty) suite
-      else SuiteParams.resolve(suite, suiteParameters)
+    // ALWAYS resolve: a "$name" ref left in a suite with no parameters must
+    // surface as that expectation's isolated exception EVR, not evaluate as
+    // the literal string "$name" (silently wrong on string columns, a
+    // whole-domain ANSI cast failure on numeric ones)
+    val resolved = SuiteParams.resolve(suite, suiteParameters)
     new SuiteRunner(resultFormat, idColumns).run(df, resolved)
   }
 

@@ -47,19 +47,38 @@ object SuiteJson {
   private final class Kw(k: JsonNode) {
     private def node(name: String): Option[JsonNode] =
       Option(k.get(name)).filterNot(_.isNull)
-    def str(name: String): String = node(name).map(_.asText()).getOrElse(
-      throw new IllegalArgumentException(s"missing kwarg: $name"))
-    def strOpt(name: String): Option[String] = node(name).map(_.asText())
+    /** An explicitly-null kwarg (≠ absent): the reference's None. */
+    def isExplicitNull(name: String): Boolean =
+      Option(k.get(name)).exists(_.isNull)
+    private def isRef(n: JsonNode): Boolean = n.isObject && n.has("$PARAMETER")
+    /** Typed scalar slots cannot carry a late-bound ref in this model —
+      * fail loudly (→ InvalidExpectation) instead of Jackson's silent
+      * asDouble()/asInt() = 0 coercion producing a false-green check. */
+    private def scalar(name: String): Option[JsonNode] = node(name).map { n =>
+      if (isRef(n)) throw new IllegalArgumentException(
+        s"$$PARAMETER ref not supported for typed kwarg '$name'")
+      n
+    }
+    /** String slots DO support refs (SuiteParams resolves whole-string
+      * "$name" values for regex/like patterns). */
+    def str(name: String): String = node(name).map {
+      case n if isRef(n) => "$" + n.get("$PARAMETER").asText()
+      case n => n.asText()
+    }.getOrElse(throw new IllegalArgumentException(s"missing kwarg: $name"))
+    def strOpt(name: String): Option[String] = node(name).map {
+      case n if isRef(n) => "$" + n.get("$PARAMETER").asText()
+      case n => n.asText()
+    }
     def anyOpt(name: String): Option[Any] = node(name).map(value)
     def seq(name: String): Seq[Any] =
       node(name).map(value(_).asInstanceOf[Seq[Any]]).getOrElse(Nil)
     def strSeq(name: String): Seq[String] = seq(name).map(String.valueOf)
     def dbl(name: String, default: Double): Double =
-      node(name).map(_.asDouble()).getOrElse(default)
-    def dblOpt(name: String): Option[Double] = node(name).map(_.asDouble())
-    def intOpt(name: String): Option[Int] = node(name).map(_.asInt())
+      scalar(name).map(_.asDouble()).getOrElse(default)
+    def dblOpt(name: String): Option[Double] = scalar(name).map(_.asDouble())
+    def intOpt(name: String): Option[Int] = scalar(name).map(_.asInt())
     def bool(name: String, default: Boolean): Boolean =
-      node(name).map(_.asBoolean()).getOrElse(default)
+      scalar(name).map(_.asBoolean()).getOrElse(default)
     def mostly: Double = dbl("mostly", 1.0)
     def rowCondition: Option[String] = strOpt("row_condition")
     def ignoreRowIf: IgnoreRowIf =
@@ -101,10 +120,19 @@ object SuiteJson {
     case "expect_column_values_to_not_be_null" =>
       ExpectColumnValuesToNotBeNull(kw.str("column"), kw.mostly, kw.rowCondition)
     case "expect_column_values_to_be_in_set" =>
-      ExpectColumnValuesToBeInSet(kw.str("column"), kw.seq("value_set"),
+      // value_set: null is the reference's vacuously-true None
+      // (column_values_in_set.py:78-88) — NOT the empty set (which marks
+      // every non-null value unexpected)
+      if (kw.isExplicitNull("value_set"))
+        CustomColumnMapExpectation(tp, kw.str("column"),
+          _ => org.apache.spark.sql.functions.lit(true), kw.mostly, kw.rowCondition)
+      else ExpectColumnValuesToBeInSet(kw.str("column"), kw.seq("value_set"),
         kw.mostly, kw.rowCondition)
     case "expect_column_values_to_not_be_in_set" =>
-      ExpectColumnValuesToNotBeInSet(kw.str("column"), kw.seq("value_set"),
+      if (kw.isExplicitNull("value_set"))
+        CustomColumnMapExpectation(tp, kw.str("column"),
+          _ => org.apache.spark.sql.functions.lit(true), kw.mostly, kw.rowCondition)
+      else ExpectColumnValuesToNotBeInSet(kw.str("column"), kw.seq("value_set"),
         kw.mostly, kw.rowCondition)
     case "expect_column_values_to_be_between" =>
       ExpectColumnValuesToBeBetween(kw.str("column"),

@@ -51,11 +51,18 @@ object SuiteParams {
     case other => String.valueOf(other)
   }
 
+  private val SqlRefToken = """\$([A-Za-z_][A-Za-z0-9_]*)""".r
+
+  /** Token-wise substitution: "$name" is replaced only when the WHOLE
+    * identifier matches a parameter, so a defined $min never corrupts an
+    * undefined $min_qty sharing its prefix (the undefined ref is left in
+    * place and fails loudly at SQL parse time). */
   private def sql(params: Map[String, Any])(s: String): String =
-    // longest names first so $min_qty is not clobbered by a $min param
-    params.toSeq.sortBy(-_._1.length).foldLeft(s) { case (acc, (k, v)) =>
-      acc.replace("$" + k, sqlLit(v))
-    }
+    SqlRefToken.replaceAllIn(s, m =>
+      params.get(m.group(1)) match {
+        case Some(v) => java.util.regex.Matcher.quoteReplacement(sqlLit(v))
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      })
 
   private def cond(params: Map[String, Any])(c: Option[String]): Option[String] =
     c.map(sql(params))

@@ -144,10 +144,12 @@ object Coverage3Queries {
     val qnt = s"""SELECT 'quantile', CAST(i AS INT), qs[i + 1]
                  |FROM (SELECT quantile_cont(l_quantity, $qLits) AS qs FROM lineitem),
                  |     (SELECT unnest(generate_series(0, $QuantileBins)) AS i)""".stripMargin
-    // auto: n_bins = max(ceil(log2(n+1)), ceil((mx-mn)/fd)), fd = 2·iqr/n^(1/3)
+    // auto: n_bins = max(ceil(log2(n+1)), ceil((mx-mn)/fd)), fd = 2·iqr/n^(1/3);
+    // ceil(log2(n+1)) = bitLength(n) = length(bin(n)) — exact integer
+    // arithmetic on both engines (libm log2 could flip the ceil by an ulp)
     val auto = s"""SELECT 'auto', CAST(i AS INT), mn + (mx - mn) * i / nb
                   |FROM (
-                  |  SELECT mn, mx, GREATEST(CAST(ceil(log2(cnt + 1.0)) AS BIGINT),
+                  |  SELECT mn, mx, GREATEST(CAST(length(bin(CAST(cnt AS BIGINT))) AS BIGINT),
                   |    CAST(ceil((mx - mn) / ((2.0 * (q75 - q25)) / pow(cnt, 1.0/3.0))) AS BIGINT)) AS nb
                   |  FROM (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx,
                   |    quantile_cont(l_quantity, 0.25) AS q25, quantile_cont(l_quantity, 0.75) AS q75,

@@ -133,6 +133,15 @@ class DedupSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("dot product rejects non-float arrays at analysis time") {
+    val d = Seq((1L, Array(1L, 2L))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      d.select(Similarity.dot(col("v"), col("v"))).collect()
+    }
+    assert(ex.getMessage.contains("dot_product") ||
+      ex.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("cosine of identical vectors ≈ 1, orthogonal = 0") {
     val d = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
       (3L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")

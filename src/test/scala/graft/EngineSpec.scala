@@ -423,6 +423,18 @@ class EngineSpec extends AnyFunSuite {
       suiteParameters = Map("other" -> 1))
     assert(!sr.results.head.success && sr.results.head.exception.isDefined)
     assert(sr.results(1).success)
+    // even with NO parameter map at all: refs must not evaluate literally
+    val sr2 = Graft.validate(df, Suite("s", Seq(
+      ExpectColumnValuesToBeBetween("x", Some("$min_x"), None),
+      ExpectColumnValuesToNotBeNull("x"))))
+    assert(!sr2.results.head.success && sr2.results.head.exception.isDefined)
+    assert(sr2.results(1).success)
+    // a defined $min must not corrupt an undefined $min_qty (token match)
+    val sr3 = Graft.validate(df, Suite("s", Seq(
+      ExpectColumnValuesToNotBeNull("x",
+        rowCondition = Some("x > $min_qty")))),
+      suiteParameters = Map("min" -> 5))
+    assert(!sr3.results.head.success && sr3.results.head.exception.isDefined)
   }
 
   test("transient job failure is retried up to 3 attempts") {

@@ -73,6 +73,36 @@ class SuiteJsonSpec extends AnyFunSuite {
     assert(sr.statistics.successfulExpectations == 9)
   }
 
+  test("$PARAMETER in a typed scalar slot fails loudly, not silently as 0") {
+    val suite = SuiteJson.fromJson(
+      """{"expectations": [
+        | {"expectation_type": "expect_column_values_to_match_regex",
+        |  "kwargs": {"column": "alpha", "regex": "^z$",
+        |    "mostly": {"$PARAMETER": "pct"}}},
+        | {"expectation_type": "expect_column_values_to_match_regex",
+        |  "kwargs": {"column": "alpha", "regex": {"$PARAMETER": "re"}}}]}""".stripMargin)
+    // typed slot (mostly): InvalidExpectation — NOT mostly=0.0 false-green
+    val r = Graft.validate(df, suite, suiteParameters = Map("re" -> "[a-z]"))
+    assert(!r.results.head.success && r.results.head.exception.isDefined)
+    // string slot (regex): ref resolves through SuiteParams
+    assert(r.results(1).success)
+    assert(r.results(1).result("unexpected_count") == 0L)
+  }
+
+  test("value_set null is the reference's vacuous None, not the empty set") {
+    val suite = SuiteJson.fromJson(
+      """{"expectations": [
+        | {"expectation_type": "expect_column_values_to_be_in_set",
+        |  "kwargs": {"column": "alpha", "value_set": null}},
+        | {"expectation_type": "expect_column_values_to_be_in_set",
+        |  "kwargs": {"column": "alpha", "value_set": []}}]}""".stripMargin)
+    val r = Graft.validate(df, suite)
+    assert(r.results.head.success) // null set → vacuously true
+    assert(r.results.head.result("unexpected_count") == 0L)
+    assert(!r.results(1).success) // empty set → all non-null unexpected
+    assert(r.results(1).result("unexpected_count") == 10L)
+  }
+
   test("kl partition_object with bins loads the continuous path") {
     val suite = SuiteJson.fromJson(
       """{"expectations": [
