@@ -41,4 +41,30 @@ object RowConditionDsl {
     case other =>
       throw new IllegalArgumentException(s"unparseable row condition: $other")
   }
+
+  /** Translate a mini-DSL condition to the equivalent Spark-SQL string
+    * (the form Expectation.rowCondition carries), so JSON suites with
+    * condition_parser="great_expectations" load without a Column slot. */
+  def toSql(condition: String): String = {
+    def lit(s: String): String = s match {
+      case DateRe(d) => s"DATE '$d'"
+      case StrRe(v) => "'" + v.replace("'", "''") + "'"
+      case v if v.matches("[+-]?\\d+") ||
+        v.matches("[+-]?\\d*\\.\\d+([eE][+-]?\\d+)?") => v
+      case other => throw new IllegalArgumentException(s"unparseable literal: $other")
+    }
+    def q(c: String): String = "`" + c.replace("`", "``") + "`"
+    condition match {
+      case NotNullRe(c) => s"${q(c)} IS NOT NULL"
+      case CmpRe(c, op, rhs) =>
+        val sqlOp = op match {
+          case "==" => "="
+          case "!=" => "<>"
+          case o => o
+        }
+        s"${q(c)} $sqlOp ${lit(rhs)}"
+      case other =>
+        throw new IllegalArgumentException(s"unparseable row condition: $other")
+    }
+  }
 }

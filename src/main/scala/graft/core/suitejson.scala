@@ -80,7 +80,16 @@ object SuiteJson {
     def bool(name: String, default: Boolean): Boolean =
       scalar(name).map(_.asBoolean()).getOrElse(default)
     def mostly: Double = dbl("mostly", 1.0)
-    def rowCondition: Option[String] = strOpt("row_condition")
+    /** row_condition honoring condition_parser: "great_expectations*"
+      * (the col("x") > 5 mini-DSL, row_conditions.py:36-66) is translated
+      * to the equivalent Spark SQL; "spark" (and absent) pass through. */
+    def rowCondition: Option[String] = strOpt("row_condition").map { rc =>
+      strOpt("condition_parser") match {
+        case Some(p) if p.startsWith("great_expectations") =>
+          RowConditionDsl.toSql(rc)
+        case _ => rc
+      }
+    }
     def ignoreRowIf: IgnoreRowIf =
       strOpt("ignore_row_if").getOrElse("both_values_are_missing") match {
         case "both_values_are_missing" => IgnoreRowIf.BothValuesAreMissing

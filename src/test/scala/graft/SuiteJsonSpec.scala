@@ -103,6 +103,25 @@ class SuiteJsonSpec extends AnyFunSuite {
     assert(r.results(1).result("unexpected_count") == 10L)
   }
 
+  test("condition_parser great_expectations translates the mini-DSL") {
+    val suite = SuiteJson.fromJson(
+      """{"expectations": [
+        | {"expectation_type": "expect_column_values_to_not_be_null",
+        |  "kwargs": {"column": "z", "mostly": 0.5,
+        |    "row_condition": "col(\"parity\") == \"odd\"",
+        |    "condition_parser": "great_expectations__experimental__"}},
+        | {"expectation_type": "expect_column_values_to_be_between",
+        |  "kwargs": {"column": "x", "min_value": 6,
+        |    "row_condition": "col(\"x\") > 5",
+        |    "condition_parser": "great_expectations"}}]}""".stripMargin)
+    val r = Graft.validate(df, suite)
+    assert(r.results.head.success)
+    assert(r.results.head.result("element_count") == 5L) // odd rows only
+    assert(r.results(1).success)
+    assert(r.results(1).result("element_count") == 5L) // x in 6..10
+    assert(r.results(1).result("unexpected_count") == 0L)
+  }
+
   test("kl partition_object with bins loads the continuous path") {
     val suite = SuiteJson.fromJson(
       """{"expectations": [
