@@ -409,8 +409,12 @@ final case class ExpectColumnValueZScoresToBeLessThan(column: String,
   val expectationType = "expect_column_value_z_scores_to_be_less_than"
   def kwargs = Map("column" -> column, "threshold" -> threshold,
     "double_sided" -> doubleSided, "mostly" -> mostly)
-  // placeholder; the runner rewrites via expectedWith(mean, std)
-  def expected(c: Column): Column = lit(true)
+  // The bare condition is undefined until the runner injects mean/stddev
+  // (expectedWith): fail loudly rather than let a lit(true) placeholder
+  // leak into Graft.unexpectedValueCounts or an index query as a
+  // silently-empty filter.
+  def expected(c: Column): Column = throw new IllegalStateException(
+    "z-score condition requires resolved mean/stddev — evaluate via SuiteRunner")
   def expectedWith(c: Column, mean: Double, std: Double): Column = {
     val z = (c - lit(mean)) / lit(std)
     if (doubleSided) abs(z) < lit(threshold) else z < lit(threshold)
@@ -544,25 +548,37 @@ sealed trait AggExpectation extends Expectation {
 
 /** min/max-between template (expectation.py:1587-1657): null bound = open. */
 object BetweenCheck {
+  /** Temporal observed values (date/timestamp min/max aggregates) compare
+    * on an epoch rank; numbers on doubleValue. */
+  private def rank(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue())
+    case d: java.sql.Date => Some(d.getTime.toDouble)
+    case t: java.sql.Timestamp => Some(t.getTime.toDouble)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+    case i: java.time.Instant => Some(i.toEpochMilli.toDouble)
+    case dt: java.time.LocalDateTime =>
+      Some(dt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble)
+    case _ => None
+  }
   /** Bounds are Any so they can carry an unresolved "$param" string until
     * SuiteParams.resolve runs; a ref reaching evaluation is an error. */
-  def bound(o: Option[Any]): Option[Double] = o.map {
-    case n: Number => n.doubleValue()
-    case s: String if s.startsWith("$") => throw new IllegalArgumentException(
-      s"unresolved suite parameter: $s (call SuiteParams.resolve first)")
-    case other => throw new IllegalArgumentException(
-      s"non-numeric bound: $other")
+  def bound(o: Option[Any]): Option[Double] = o.map { v =>
+    rank(v).getOrElse(v match {
+      case s: String if s.startsWith("$") => throw new IllegalArgumentException(
+        s"unresolved suite parameter: $s (call SuiteParams.resolve first)")
+      case other => throw new IllegalArgumentException(
+        s"non-numeric/non-temporal bound: $other")
+    })
   }
   def check(v: Any, minV: Option[Double], maxV: Option[Double],
-      strictMin: Boolean = false, strictMax: Boolean = false): Boolean = v match {
-    case null => false
-    case n: Number =>
-      val d = n.doubleValue()
-      val lo = minV.forall(m => if (strictMin) d > m else d >= m)
-      val hi = maxV.forall(m => if (strictMax) d < m else d <= m)
-      lo && hi
-    case _ => false
-  }
+      strictMin: Boolean = false, strictMax: Boolean = false): Boolean =
+    (if (v == null) None else rank(v)) match {
+      case None => false
+      case Some(d) =>
+        val lo = minV.forall(m => if (strictMin) d > m else d >= m)
+        val hi = maxV.forall(m => if (strictMax) d < m else d <= m)
+        lo && hi
+    }
 }
 
 sealed abstract class ColumnAggBetween(metric: String, aggFn: Column => Column)
@@ -684,13 +700,18 @@ final case class ExpectColumnQuantileValuesToBeBetween(column: String,
     quantiles: Seq[Double], ranges: Seq[(Option[Double], Option[Double])],
     relativeError: Double = 1e-4,
     override val rowCondition: Option[String] = None) extends ValueExpectation {
+  require(quantiles.size == ranges.size,
+    s"quantile_ranges: ${quantiles.size} quantiles but ${ranges.size} " +
+      "value_ranges (the reference rejects mismatched lengths)")
   val expectationType = "expect_column_quantile_values_to_be_between"
   def kwargs = Map("column" -> column, "quantiles" -> quantiles)
   def run(df: DataFrame): Evr = {
     val vals = df.stat.approxQuantile(column, quantiles.toArray, relativeError)
-    val ok = vals.zip(ranges).forall { case (v, (lo, hi)) =>
-      BetweenCheck.check(v, lo, hi)
-    }
+    // empty column → no observed quantiles → failure, not a vacuous forall
+    val ok = vals.length == quantiles.size &&
+      vals.zip(ranges).forall { case (v, (lo, hi)) =>
+        BetweenCheck.check(v, lo, hi)
+      }
     Evr(expectationType, kwargs, ok,
       Map("observed_value" -> Map("quantiles" -> quantiles, "values" -> vals.toSeq)))
   }
@@ -811,14 +832,25 @@ final case class ExpectColumnKlDivergenceToBeLessThan(column: String,
     "tail_weight_holdout must be between zero and one")
   val expectationType = "expect_column_kl_divergence_to_be_less_than"
   def kwargs = Map("column" -> column, "threshold" -> threshold)
+  /** Canonical match key: numerically-equal values must collide (a Double
+    * 1.0 observed in the data matches the partition's integer 1, as the
+    * reference's pandas index alignment does) — String.valueOf would keep
+    * "1.0" and "1" apart and drive the divergence to a spurious +∞. */
+  private def keyOf(v: Any): String = v match {
+    case n: Number =>
+      val d = n.doubleValue()
+      if (d.isWhole && math.abs(d) < 9.007199254740992e15) d.toLong.toString
+      else d.toString
+    case other => String.valueOf(other)
+  }
   def run(df: DataFrame): Evr = {
     val counts = df.filter(col(column).isNotNull).groupBy(col(column))
       .agg(count(lit(1)).as("n")).collect()
-      .map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
-    val expectedW = partitionValues.map(String.valueOf).zip(partitionWeights).toMap
+      .map(r => keyOf(r.get(0)) -> r.getLong(1)).toMap
+    val expectedW = partitionValues.map(keyOf).zip(partitionWeights).toMap
     val unexpected = counts.keySet.diff(expectedW.keySet).toSeq.sorted
     // union index, expected-first like the reference's concat
-    val index = partitionValues.map(String.valueOf) ++ unexpected
+    val index = partitionValues.map(keyOf) ++ unexpected
     val pk = index.map(v => counts.getOrElse(v, 0L).toDouble)
     val qk =
       if (unexpected.isEmpty) index.map(expectedW)

@@ -110,19 +110,25 @@ final class SuiteRunner(
     exps.zipWithIndex.foreach {
       case (e: UnexpectedRowsExpectation, i) =>
         record(i, Try(withRetry {
-          df.createOrReplaceTempView(batchViewName)
-          val sql = e.unexpectedRowsQuery.replace("{batch}", batchViewName)
-          val resDf = df.sparkSession.sql(sql)
-          val rows = resDf.limit(MaxResultRecords).collect()
-          // observed_value is the TRUE unexpected-row count; the capped
-          // collect is only the sample (unexpected_rows_expectation.py:96).
-          val total: Long =
-            if (rows.length < MaxResultRecords) rows.length.toLong
-            else resDf.count()
-          Evr(e.expectationType, e.kwargs, rows.isEmpty, Map(
-            "observed_value" -> total,
-            "unexpected_rows" -> rows.take(resultFormat.partialUnexpectedCount)
-              .map(_.toString).toSeq))
+          // unique per-evaluation view: a fixed name would clobber a user's
+          // session view and race across concurrent validations
+          val view = s"${batchViewName}_${java.util.UUID.randomUUID()
+            .toString.replace("-", "")}"
+          df.createOrReplaceTempView(view)
+          try {
+            val sql = e.unexpectedRowsQuery.replace("{batch}", view)
+            val resDf = df.sparkSession.sql(sql)
+            val rows = resDf.limit(MaxResultRecords).collect()
+            // observed_value is the TRUE unexpected-row count; the capped
+            // collect is only the sample (unexpected_rows_expectation.py:96).
+            val total: Long =
+              if (rows.length < MaxResultRecords) rows.length.toLong
+              else resDf.count()
+            Evr(e.expectationType, e.kwargs, rows.isEmpty, Map(
+              "observed_value" -> total,
+              "unexpected_rows" -> rows.take(resultFormat.partialUnexpectedCount)
+                .map(_.toString).toSeq))
+          } finally df.sparkSession.catalog.dropTempView(view)
         }))
       case _ =>
     }
@@ -139,21 +145,37 @@ final class SuiteRunner(
       group: Seq[(Expectation, Int)], record: (Int, Try[Evr]) => Unit): Unit = {
 
     // Per-expectation failure isolation (validation_graph.py:48,263-271 /
-    // validator.py:782-805): an expectation referencing a missing column gets
-    // its own exception EVR and is excluded from the fused plan.
-    val fields = domainDf.schema.fieldNames.toSet
+    // validator.py:782-805): an expectation referencing a missing column —
+    // or whose Column CONSTRUCTION throws (empty regex_list, <2 compound
+    // columns, …) — gets its own exception EVR and is excluded, so it
+    // cannot poison the fused plan for its siblings. Column lookup honors
+    // spark.sql.caseSensitive like the plan itself would.
+    val caseSensitive = Try(domainDf.sparkSession.conf
+      .get("spark.sql.caseSensitive").toBoolean).getOrElse(false)
+    def norm(c: String): String = if (caseSensitive) c else c.toLowerCase
+    val fields = domainDf.schema.fieldNames.map(norm).toSet
     def missingCols(e: Expectation): Seq[String] = (e match {
       case m: MapExpectation => m.domainColumns
       case a: ColumnAggBetween => Seq(a.column)
       case p: ExpectColumnProportionOfUniqueValuesToBeBetween => Seq(p.column)
       case _ => Nil
-    }).filterNot(fields.contains)
+    }).filterNot(c => fields.contains(norm(c)))
+    def buildError(e: Expectation): Option[Throwable] = Try(e match {
+      case m: MapExpectation
+          if !m.isInstanceOf[ExpectColumnValueZScoresToBeLessThan] =>
+        m.unexpectedCondition; m.missingCondition; ()
+      case a: AggExpectation => a.aggs; ()
+      case _ => ()
+    }).failed.toOption
     group.foreach { case (e, i) =>
       val miss = missingCols(e)
       if (miss.nonEmpty) record(i, Failure(new IllegalArgumentException(
         s"column(s) not found: ${miss.mkString(", ")}")))
+      else buildError(e).foreach(ex => record(i, Failure(ex)))
     }
-    val ok = group.filter { case (e, _) => missingCols(e).isEmpty }
+    val ok = group.filter { case (e, _) =>
+      missingCols(e).isEmpty && buildError(e).isEmpty
+    }
     val mapExps = ok.collect { case (e: MapExpectation, i) => (e, i) }
     val aggExps = ok.collect { case (e: AggExpectation, i) => (e, i) }
     if (mapExps.isEmpty && aggExps.isEmpty) return
@@ -423,7 +445,8 @@ final class SuiteRunner(
           "unexpected_index_list" -> indexes.take(ResultFormat.MaxResultRecords)) ++
         (if (resultFormat.returnUnexpectedIndexQuery)
           Map[String, Any]("unexpected_index_query" ->
-            s"df.filter(${e.unexpectedCondition.toString})")
+            Try(s"df.filter(${e.unexpectedCondition.toString})").getOrElse(
+              "<condition requires runtime-resolved metric dependencies>"))
          else Map.empty[String, Any])
       }
 

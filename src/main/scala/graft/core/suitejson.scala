@@ -47,9 +47,9 @@ object SuiteJson {
   private final class Kw(k: JsonNode) {
     private def node(name: String): Option[JsonNode] =
       Option(k.get(name)).filterNot(_.isNull)
-    /** An explicitly-null kwarg (≠ absent): the reference's None. */
-    def isExplicitNull(name: String): Boolean =
-      Option(k.get(name)).exists(_.isNull)
+    /** Absent OR null — both mean the reference's None/default. */
+    def isMissingOrNull(name: String): Boolean =
+      k.get(name) == null || k.get(name).isNull
     private def isRef(n: JsonNode): Boolean = n.isObject && n.has("$PARAMETER")
     /** Typed scalar slots cannot carry a late-bound ref in this model —
       * fail loudly (→ InvalidExpectation) instead of Jackson's silent
@@ -129,16 +129,16 @@ object SuiteJson {
     case "expect_column_values_to_not_be_null" =>
       ExpectColumnValuesToNotBeNull(kw.str("column"), kw.mostly, kw.rowCondition)
     case "expect_column_values_to_be_in_set" =>
-      // value_set: null is the reference's vacuously-true None
+      // value_set null OR absent is the reference's vacuously-true None
       // (column_values_in_set.py:78-88) — NOT the empty set (which marks
       // every non-null value unexpected)
-      if (kw.isExplicitNull("value_set"))
+      if (kw.isMissingOrNull("value_set"))
         CustomColumnMapExpectation(tp, kw.str("column"),
           _ => org.apache.spark.sql.functions.lit(true), kw.mostly, kw.rowCondition)
       else ExpectColumnValuesToBeInSet(kw.str("column"), kw.seq("value_set"),
         kw.mostly, kw.rowCondition)
     case "expect_column_values_to_not_be_in_set" =>
-      if (kw.isExplicitNull("value_set"))
+      if (kw.isMissingOrNull("value_set"))
         CustomColumnMapExpectation(tp, kw.str("column"),
           _ => org.apache.spark.sql.functions.lit(true), kw.mostly, kw.rowCondition)
       else ExpectColumnValuesToNotBeInSet(kw.str("column"), kw.seq("value_set"),

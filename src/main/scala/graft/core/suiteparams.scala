@@ -26,8 +26,14 @@ object SuiteParams {
       }
     })
 
+  /** A ref is "$" + a valid identifier ONLY — "$10"-style data values
+    * (price labels etc.) stay literal instead of failing resolution. */
+  private val RefName = """\$([A-Za-z_][A-Za-z0-9_]*)""".r
   private def ref(v: Any): Option[String] = v match {
-    case s: String if s.startsWith("$") && s.length > 1 => Some(s.drop(1))
+    case s: String => s match {
+      case RefName(name) => Some(name)
+      case _ => None
+    }
     case _ => None
   }
 
@@ -84,6 +90,21 @@ object SuiteParams {
         x.copy(regex = st(x.regex), rowCondition = rc(x.rowCondition))
       case x: ExpectColumnValuesToNotMatchRegex =>
         x.copy(regex = st(x.regex), rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnValuesToMatchRegexList =>
+        x.copy(regexList = x.regexList.map(st), rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnValuesToNotMatchRegexList =>
+        x.copy(regexList = x.regexList.map(st), rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnValuesToMatchLikePatternList =>
+        x.copy(likePatternList = x.likePatternList.map(st),
+          rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnDistinctValuesToBeInSet =>
+        x.copy(valueSet = x.valueSet.map(v), rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnDistinctValuesToContainSet =>
+        x.copy(valueSet = x.valueSet.map(v), rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnDistinctValuesToEqualSet =>
+        x.copy(valueSet = x.valueSet.map(v), rowCondition = rc(x.rowCondition))
+      case x: ExpectColumnMostCommonValueToBeInSet =>
+        x.copy(valueSet = x.valueSet.map(v), rowCondition = rc(x.rowCondition))
       case x: ExpectColumnValuesToMatchLikePattern =>
         x.copy(likePattern = st(x.likePattern), rowCondition = rc(x.rowCondition))
       case x: ExpectColumnPairValuesToBeInSet =>

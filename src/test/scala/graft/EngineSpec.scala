@@ -354,6 +354,51 @@ class EngineSpec extends AnyFunSuite {
     assert(r.success)
   }
 
+  test("review regressions: isolation, numeric KL keys, dates, views") {
+    // (a) a malformed expectation (empty regex_list → reduce on empty)
+    // fails alone, not its fused siblings
+    val sr = Graft.validate(df, Suite("t", Seq(
+      ExpectColumnValuesToMatchRegexList("alpha", Nil),
+      ExpectColumnValuesToNotBeNull("x"))))
+    assert(!sr.results.head.success && sr.results.head.exception.isDefined)
+    assert(sr.results(1).success)
+    // (b) categorical KL matches numerically: double 1.0/2.0 vs integer
+    // partition values must NOT be spuriously +infinity
+    val dd = Seq(1.0, 1.0, 2.0, 2.0).toDF("v")
+    val r = Graft.validate(dd, Suite("t", Seq(
+      ExpectColumnKlDivergenceToBeLessThan("v", Seq(1L, 2L),
+        Seq(0.5, 0.5), 0.01)))).results.head
+    assert(r.success, r.result)
+    // (c) column lookup honors default case-insensitivity
+    val rc = Graft.validate(df, Suite("t", Seq(
+      ExpectColumnValuesToNotBeNull("X")))).results.head
+    assert(rc.success, rc.exception)
+    // (d) unexpected-rows view is unique and dropped; user views survive
+    df.createOrReplaceTempView("batch")
+    Graft.validate(df, Suite("t", Seq(
+      UnexpectedRowsExpectation("SELECT * FROM {batch} WHERE x > 100"))))
+    assert(spark.catalog.tableExists("batch")) // user view untouched
+    spark.catalog.dropTempView("batch")
+    // (e) date min/max bounds compare temporally
+    val dates = Seq("2024-01-05", "2024-03-01").toDF("s")
+      .selectExpr("CAST(s AS DATE) AS d")
+    val rd = Graft.validate(dates, Suite("t", Seq(
+      ExpectColumnMinToBeBetween("d",
+        Some(java.sql.Date.valueOf("2024-01-01")),
+        Some(java.sql.Date.valueOf("2024-01-31")))))).results.head
+    assert(rd.success, rd.result)
+    // (f) "$10"-style literal data values are not parameter refs
+    val money = Seq("$10", "$20").toDF("price")
+    val rm = Graft.validate(money, Suite("t", Seq(
+      ExpectColumnValuesToBeInSet("price", Seq("$10", "$20"))))).results.head
+    assert(rm.success, rm.exception)
+    // (g) distinct-set value sets resolve $params too
+    val rg = Graft.validate(df, Suite("t", Seq(
+      ExpectColumnDistinctValuesToEqualSet("parity", Seq("$a", "$b")))),
+      suiteParameters = Map("a" -> "even", "b" -> "odd")).results.head
+    assert(rg.success, rg.result)
+  }
+
   test("checkpoint run fans results out to actions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_run").toString
     val logged = collection.mutable.ArrayBuffer.empty[String]
