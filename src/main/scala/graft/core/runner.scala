@@ -152,7 +152,8 @@ final class SuiteRunner(
     // spark.sql.caseSensitive like the plan itself would.
     val caseSensitive = Try(domainDf.sparkSession.conf
       .get("spark.sql.caseSensitive").toBoolean).getOrElse(false)
-    def norm(c: String): String = if (caseSensitive) c else c.toLowerCase
+    def norm(c: String): String =
+      if (caseSensitive) c else c.toLowerCase(java.util.Locale.ROOT)
     val fields = domainDf.schema.fieldNames.map(norm).toSet
     def missingCols(e: Expectation): Seq[String] = (e match {
       case m: MapExpectation => m.domainColumns

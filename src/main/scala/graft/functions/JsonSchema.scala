@@ -42,7 +42,9 @@ object JsonSchema {
       }
       if (!ok) return false
     }
-    if (s.has("required")) {
+    // per JSON Schema (and Python jsonschema): `required` constrains only
+    // OBJECT instances — non-objects pass it vacuously
+    if (s.has("required") && n.isObject) {
       val it = s.get("required").elements()
       while (it.hasNext) if (!n.has(it.next().asText())) return false
     }

@@ -35,7 +35,10 @@ private[functions] object MinHashCore {
 
   /** Distinct word n-gram shingles; degenerate docs → whole-text shingle. */
   def shingleSet(text: String, n: Int): java.util.LinkedHashSet[String] = {
-    val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    // Locale.ROOT: a Turkish-class default locale would lowercase ASCII
+    // 'I' to dotless ı and break md5 parity with lower()/the oracle
+    val toks = text.toLowerCase(java.util.Locale.ROOT).trim
+      .split("\\s+").filter(_.nonEmpty)
     val shingles = new java.util.LinkedHashSet[String]()
     if (toks.length >= n) {
       var i = 0

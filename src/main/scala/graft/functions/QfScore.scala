@@ -81,7 +81,9 @@ case class QfScore(child: Expression)
         if (tokenStart < 0) tokenStart = i
         val alnum = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
           (c >= '0' && c <= '9')
-        if (!alnum) nSymbols += 1
+        // codepoint-counted, like Spark length(): a supplementary-plane
+        // char is one symbol, not two UTF-16 code units
+        if (!alnum && !Character.isLowSurrogate(c)) nSymbols += 1
       } else if (tokenStart >= 0) {
         nTokens += 1
         seen.add(text.substring(tokenStart, i))
@@ -97,10 +99,11 @@ case class QfScore(child: Expression)
     val phone = ms(2).reset(text).find()
     val tox = ms(3).reset(text).find()
     var s = text
+    // see ScrubFlags: once mutated, later patterns re-run unconditionally
     if (email) s = ms(0).reset(s).replaceAll("[EMAIL]")
-    if (ssn) s = ms(1).reset(s).replaceAll("[SSN]")
-    if (phone) s = ms(2).reset(s).replaceAll("[PHONE]")
-    if (tox) s = ms(3).reset(s).replaceAll("[REDACTED]")
+    if (ssn || (s ne text)) s = ms(1).reset(s).replaceAll("[SSN]")
+    if (phone || (s ne text)) s = ms(2).reset(s).replaceAll("[PHONE]")
+    if (tox || (s ne text)) s = ms(3).reset(s).replaceAll("[REDACTED]")
 
     out(0) = hits
     out(1) = if (nWords == 0) Oov else lp / nWords

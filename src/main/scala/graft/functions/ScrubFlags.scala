@@ -52,11 +52,15 @@ case class ScrubFlags(child: Expression)
     val phone = ms(2).reset(text).find()
     val tox = ms(3).reset(text).find()
     var s = text
-    // replacement order mirrors QualityFilter: email → ssn → phone → tox
+    // replacement order mirrors the chained regexp_replace formulation:
+    // email → ssn → phone → tox. Once the text has MUTATED, later patterns
+    // must re-run unconditionally — an earlier substitution can create a
+    // word boundary that enables a later match (e.g. "[EMAIL]555-…" where
+    // "…com555-…" had none), exactly as the chained form would scrub.
     if (email) s = ms(0).reset(s).replaceAll("[EMAIL]")
-    if (ssn) s = ms(1).reset(s).replaceAll("[SSN]")
-    if (phone) s = ms(2).reset(s).replaceAll("[PHONE]")
-    if (tox) s = ms(3).reset(s).replaceAll("[REDACTED]")
+    if (ssn || (s ne text)) s = ms(1).reset(s).replaceAll("[SSN]")
+    if (phone || (s ne text)) s = ms(2).reset(s).replaceAll("[PHONE]")
+    if (tox || (s ne text)) s = ms(3).reset(s).replaceAll("[REDACTED]")
     out(0) = email; out(1) = phone; out(2) = ssn; out(3) = tox
     out(4) = if (s eq text) v else UTF8String.fromString(s)
     InternalRow.fromSeq(out.toIndexedSeq)

@@ -44,7 +44,9 @@ case class TokenStats(child: Expression)
         if (tokenStart < 0) tokenStart = i
         val alnum = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
           (c >= '0' && c <= '9')
-        if (!alnum) nSymbols += 1
+        // codepoint-counted, like Spark length(): a supplementary-plane
+        // char is one symbol, not two UTF-16 code units
+        if (!alnum && !Character.isLowSurrogate(c)) nSymbols += 1
       } else if (tokenStart >= 0) {
         nTokens += 1
         seen.add(text.substring(tokenStart, i))

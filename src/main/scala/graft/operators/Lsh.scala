@@ -24,8 +24,14 @@ object Lsh {
   def capBuckets(exploded: DataFrame, maxBucket: Int): (DataFrame, LshStats) = {
     if (maxBucket == Int.MaxValue) (exploded, LshStats(0L, 0L))
     else {
+      // hot-key census runs once and is PERSISTED: it is tiny by
+      // construction (≤ rows/maxBucket keys) and feeds both the stats
+      // aggregate here and the broadcast anti-join in the result plan —
+      // without the persist the census (and the banding expressions under
+      // it) would be recomputed at execution time
       val hot = exploded.groupBy("band_idx", "band_key")
         .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucket)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val r = hot.agg(count(lit(1)).as("nb"),
         coalesce(sum("__bn"), lit(0L)).as("nr")).head()
       val stats = LshStats(r.getLong(0), r.getLong(1))

@@ -39,7 +39,10 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** try_divide: a zero-norm vector yields null (ANSI division would
+    * throw); ranking/threshold filters drop null/NaN cosines. */
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), l2norm(a) * l2norm(b))
 
   /** Sign-quantization bucket for band `band`: bits over dims
     * [band·bits, (band+1)·bits). bucket = Σ 2^i · [v[band·bits+i] > 0].
@@ -69,7 +72,10 @@ object Similarity {
     * list — the skew defense that makes top-k survive a hot bucket or a
     * 10⁹-row corpus. */
   private def topKPerQuery(scored: DataFrame, k: Int, nSalts: Int = 32): DataFrame = {
-    val salted = scored.withColumn("__salt", pmod(col("neighbor_id"), lit(nSalts)))
+    // zero-norm vectors: try_divide yields null and a NaN would sort ABOVE
+    // real scores — neither may occupy a rank
+    val salted = scored.filter(col("cos").isNotNull && !isnan(col("cos")))
+      .withColumn("__salt", pmod(col("neighbor_id"), lit(nSalts)))
     val w1 = Window.partitionBy(col("query_id"), col("__salt"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     val w2 = Window.partitionBy(col("query_id"))
@@ -93,7 +99,8 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       l2norm(col(vecCol)).as("__cn"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("cos",
+        try_divide(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
     topKPerQuery(scored, k)
   }
 
@@ -125,7 +132,8 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       l2norm(col(vecCol)).as("__qn"))
     val scored = cand.join(c, "neighbor_id").join(broadcast(q), "query_id")
-      .withColumn("cos", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("cos",
+        try_divide(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
     (topKPerQuery(scored, k), stats)
   }
 
@@ -147,7 +155,8 @@ object Similarity {
       val w = Window.partitionBy(col(outId))
         .orderBy(col("__cc").desc, col("__cid"))
       v.join(broadcast(cents))
-        .withColumn("__cc", dot(col("__v"), col("__cv0")) / (col("__vn") * col("__cn0")))
+        .withColumn("__cc",
+          try_divide(dot(col("__v"), col("__cv0")), col("__vn") * col("__cn0")))
         .withColumn("__cr", row_number().over(w))
         .filter(col("__cr") <= n)
         .select(col(outId), col("__cid").as("cell"))
@@ -198,8 +207,11 @@ object Similarity {
         col("__n").as("__na")), "vec_a")
       .join(v.select(col("__vid").as("vec_b"), col("__v").as("__vb"),
         col("__n").as("__nb")), "vec_b")
-      .withColumn("cos", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-      .filter(col("cos") >= threshold)
+      .withColumn("cos",
+        try_divide(dot(col("__va"), col("__vb")), col("__na") * col("__nb")))
+      // zero-norm vectors: try_divide yields null (ANSI would throw) and
+      // NaN sorts above everything — exclude both explicitly
+      .filter(!isnan(col("cos")) && col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
     (verified, stats)
   }

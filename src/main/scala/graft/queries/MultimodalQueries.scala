@@ -46,13 +46,13 @@ object MultimodalQueries {
     "q26_media_frames" ->
       """SELECT doc_id AS media_id,
         | CAST(len(generate_series(1, length(text), 100)) AS INT) AS n_frames,
-        | md5(list_aggregate(list_transform(generate_series(1, length(text), 100),
-        |   i -> substr(text, i, 1)), 'string_agg', '')) AS sample_digest
+        | md5(coalesce(list_aggregate(list_transform(generate_series(1, length(text), 100),
+        |   i -> substr(text, i, 1)), 'string_agg', ''), '')) AS sample_digest
         |FROM documents ORDER BY media_id""".stripMargin,
     "q56_media_resize" ->
       """WITH resized AS (SELECT doc_id AS media_id,
-        |  list_aggregate(list_transform(generate_series(1, length(text), 7),
-        |    i -> substr(text, i, 1)), 'string_agg', '') AS rt
+        |  coalesce(list_aggregate(list_transform(generate_series(1, length(text), 7),
+        |    i -> substr(text, i, 1)), 'string_agg', ''), '') AS rt
         |  FROM documents)
         |SELECT media_id, CAST(length(rt) AS INT) AS n_bytes,
         | array_to_string(list_transform(generate_series(1, 16), b ->

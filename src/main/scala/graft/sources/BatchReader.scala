@@ -22,7 +22,7 @@ object BatchReader {
 
   /** reader_method guess from path suffix. */
   def inferFormat(path: String): String = {
-    val p = path.toLowerCase
+    val p = path.toLowerCase(java.util.Locale.ROOT)
     if (p.endsWith(".csv")) "csv"
     else if (p.endsWith(".tsv")) "tsv"
     else if (p.endsWith(".parquet") || p.endsWith(".parq") || p.endsWith(".pqt")) "parquet"

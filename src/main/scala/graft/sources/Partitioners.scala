@@ -20,8 +20,11 @@ object Partitioners {
 
   def wholeTable(df: DataFrame): DataFrame = df
 
-  private def ts(d: LocalDateTime): Column =
-    lit(Timestamp.valueOf(d)).cast(TimestampNTZType)
+  // lit(LocalDateTime) creates the TIMESTAMP_NTZ literal directly — going
+  // through java.sql.Timestamp.valueOf would interpret the wall-clock in
+  // the driver JVM's default timezone and shift batch boundaries whenever
+  // it differs from spark.sql.session.timeZone
+  private def ts(d: LocalDateTime): Column = lit(d)
 
   def onYear(df: DataFrame, column: String, year: Int): DataFrame = {
     val lo = LocalDateTime.of(year, 1, 1, 0, 0)

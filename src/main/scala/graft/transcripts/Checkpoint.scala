@@ -60,13 +60,36 @@ object Checkpoint {
       parseManifest(Files.readString(f))
     }.getOrElse((None, Map.empty))
 
-  /** Minimal manifest parser (flat, engine-written JSON only). */
+  /** Minimal manifest parser (flat, engine-written JSON only). The
+    * input_path capture tolerates Json.esc escapes (\" and \\) — a path
+    * containing either would otherwise fail the match and silently drop
+    * that bucket from the committed set. */
   private def parseManifest(s: String): (Option[Int], Map[Int, BucketLineage]) = {
-    val entry = """\{"bucket":(\d+),"rows_in":(\d+),"rows_kept":(\d+),"pii_rows":(\d+),"wall_secs":([0-9.Ee+-]+),"input_path":"([^"]*)","committed_at_ms":(\d+)\}""".r
+    val entry = """\{"bucket":(\d+),"rows_in":(\d+),"rows_kept":(\d+),"pii_rows":(\d+),"wall_secs":([0-9.Ee+-]+),"input_path":"((?:[^"\\]|\\.)*)","committed_at_ms":(\d+)\}""".r
+    def unesc(v: String): String = {
+      val b = new StringBuilder
+      var i = 0
+      while (i < v.length) {
+        val c = v.charAt(i)
+        if (c == '\\' && i + 1 < v.length) {
+          v.charAt(i + 1) match {
+            case 'n' => b.append('\n')
+            case 'r' => b.append('\r')
+            case 't' => b.append('\t')
+            case 'u' =>
+              b.append(Integer.parseInt(v.substring(i + 2, i + 6), 16).toChar)
+              i += 4
+            case other => b.append(other)
+          }
+          i += 2
+        } else { b.append(c); i += 1 }
+      }
+      b.toString
+    }
     val lineage = entry.findAllMatchIn(s).map { m =>
       m.group(1).toInt -> BucketLineage(m.group(1).toInt, m.group(2).toLong,
         m.group(3).toLong, m.group(4).toLong, m.group(5).toDouble,
-        m.group(6), m.group(7).toLong)
+        unesc(m.group(6)), m.group(7).toLong)
     }.toMap
     val count = """"bucket_count":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
     (count, lineage)

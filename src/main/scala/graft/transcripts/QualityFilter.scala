@@ -98,7 +98,8 @@ object QualityFilter {
       val stop = bcStop.value
       it.map { r =>
         val text = if (r.isNullAt(textIdx)) "" else r.getString(textIdx)
-        val tokens = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        val tokens = text.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z]+").filter(_.nonEmpty)
         var hits = 0
         var lp = 0.0
         var i = 0

@@ -27,7 +27,7 @@ object Transcripts {
   /** References a relation named `events`; valid Spark SQL *and* DuckDB. */
   val transcriptSql: String = """
 SELECT
-  'conv-' || lpad(CAST(user_id AS VARCHAR(12)), 6, '0') AS conv_id,
+  'conv-' || lpad(CAST(user_id AS VARCHAR(12)), 12, '0') AS conv_id,
   CAST(rn AS INT) AS turn_idx,
   CASE WHEN event_id % 97 = 0 THEN 'operator'
        WHEN rn = 0 THEN 'system'

@@ -133,6 +133,18 @@ class DedupSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("zero-norm vectors (NaN cosine) never rank or pair") {
+    val d = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.1f)),
+      (3L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(d, d.filter(col("vec_id") === 1L), 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(!topk.contains(3L), "NaN cosine must not displace real neighbors")
+    val pairs = Similarity.embeddingNearDupPairs(d, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("dot product rejects non-float arrays at analysis time") {
     val d = Seq((1L, Array(1L, 2L))).toDF("id", "v")
     val ex = intercept[Exception] {

@@ -256,6 +256,9 @@ class EngineSpec extends AnyFunSuite {
     assert(!JsonSchema.validates(""""a"""", """{"type":"string","minLength":2}"""))
     assert(JsonSchema.validates("2", """{"enum":[1,2,3]}"""))
     assert(!JsonSchema.validates("5", """{"enum":[1,2,3]}"""))
+    // required constrains only objects (jsonschema semantics)
+    assert(JsonSchema.validates(""""hello"""", """{"required":["a"]}"""))
+    assert(!JsonSchema.validates("""{"b":1}""", """{"required":["a"]}"""))
   }
 
   test("unexpected rows query expectation") {

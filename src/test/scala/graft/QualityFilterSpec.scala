@@ -125,6 +125,32 @@ class QualityFilterSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("adjacent PII: earlier substitution enables later pattern, as chained") {
+    import org.apache.spark.sql.functions.col
+    // "…com555-…" has no \b before 555 in the ORIGINAL text; the [EMAIL]
+    // substitution creates one — the chained regexp_replace (and the DuckDB
+    // oracle) scrub the phone, so the engine must too
+    val d = Seq((1L, "reach me a@b.com555-123-4567")).toDF("id", "text")
+    val r = d.select(graft.functions.ScrubFlags.scrub_flags(col("text")).as("s"))
+      .select(col("s.scrubbed_text"), col("s.phone_found")).head()
+    assert(r.getString(0) == "reach me [EMAIL][PHONE]", r.getString(0))
+    assert(!r.getBoolean(1)) // flag reflects the ORIGINAL text (no \b there)
+    // fused expression behaves identically
+    val q = d.select(graft.functions.QfScore.qf_score(col("text")).as("s"))
+      .select(col("s.scrubbed_text")).head()
+    assert(q.getString(0) == "reach me [EMAIL][PHONE]")
+  }
+
+  test("replicated user_ids keep distinct conversations (no lpad truncation)") {
+    val t = Bench.replicatedTranscripts(spark, "/root/testdata/sf0.001", 3)
+    val users = t.select("conv_id").distinct().count()
+    val base = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+      .select("conv_id").distinct().count()
+    assert(users == base * 3, s"replication must multiply conversations: $users vs $base")
+    // and (conv_id, turn_idx) stays unique — the window-shape invariant
+    assert(t.select("conv_id", "turn_idx").distinct().count() == t.count())
+  }
+
   test("synthesized transcripts: deterministic, ordered, conv-unique") {
     val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
     val n = t.count()
