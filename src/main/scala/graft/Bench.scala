@@ -40,6 +40,14 @@ object Bench {
   /** Deterministically replicate events into `rep`× as many conversations. */
   def replicatedTranscripts(spark: SparkSession, sfDir: String, rep: Int): DataFrame = {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // the replica offsets assume these bounds; exceeding them would merge
+    // ids across replicas and silently change the workload's window shape
+    val mx = events.agg(
+      org.apache.spark.sql.functions.max("user_id"),
+      org.apache.spark.sql.functions.max("event_id")).head()
+    require(mx.getLong(0) < 1000000L && mx.getLong(1) < 1000000000L,
+      s"replication offsets too small for ids (user=${mx.getLong(0)}, " +
+        s"event=${mx.getLong(1)})")
     val blown = events
       .withColumn("rep", explode(sequence(lit(0), lit(rep - 1))))
       .withColumn("user_id", col("user_id") + col("rep") * 1000000L)

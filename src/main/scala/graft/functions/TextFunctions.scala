@@ -10,7 +10,12 @@ import org.apache.spark.sql.types._
   * DuckDB oracle reproduces every value bit-for-bit. */
 object TextFunctions {
 
+  /** Whitespace-collapsed lowercase normalization. `NormTextSql` is its
+    * DuckDB twin — every oracle references that ONE string, so the pair
+    * can only change together. */
   def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+  def normTextSql(col: String): String =
+    s"trim(regexp_replace(lower($col), '\\s+', ' ', 'g'))"
 
   def tokens(c: Column): Column =
     when(normText(c) === "", array().cast(ArrayType(StringType)))

@@ -16,8 +16,9 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Whitespace-collapsed lowercase normalization. */
-  def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+  /** Whitespace-collapsed lowercase normalization (shared with
+    * TextFunctions; oracles use its normTextSql twin). */
+  def normText(c: Column): Column = graft.functions.TextFunctions.normText(c)
 
   /** Exact dedup: group by content digest, keep min id.
     * GE has no dedup operator; nearest primitive is compound uniqueness

@@ -105,7 +105,7 @@ object CoreQueries {
       mapSql(MapBranch("expect_column_values_to_be_increasing", "ts",
         "ts IS NOT NULL AND NOT (__prev IS NULL OR ts >= __prev)",
         "ts IS NULL", 1.0,
-        "(SELECT *, lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS __prev FROM transcripts) tt")),
+        "(SELECT *, last_value(ts IGNORE NULLS) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS __prev FROM transcripts) tt")),
       mapSql(MapBranch("expect_column_value_lengths_to_be_between", "text",
         "text IS NOT NULL AND NOT (length(text) <= 500)", "text IS NULL", 1.0,
         "transcripts")),
@@ -170,9 +170,9 @@ object CoreQueries {
     }),
     "q08_sample_hash" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      // sampler: sample_using_hash via md5 (sparkdf_data_sampler.py:120-165)
-      t(dir, "events")
-        .filter(substring(md5(col("event_id").cast(StringType)), 1, 1) === "a")
+      // sampler: sample_using_hash via md5 (sparkdf_data_sampler.py:120-165
+      // matches on the TRAILING hash digits, as Partitioners.sampleHash does)
+      graft.sources.Partitioners.sampleHash(t(dir, "events"), "event_id", 1, "a")
         .select(col("event_id"), col("event_type")).orderBy(col("event_id"))
     }),
     "q09_column_stats" -> ((s, dir) => {
@@ -237,7 +237,7 @@ object CoreQueries {
     "q07_sample_mod" ->
       "SELECT event_id, user_id, event_type FROM events WHERE event_id % 10 = 3 ORDER BY event_id",
     "q08_sample_hash" ->
-      "SELECT event_id, event_type FROM events WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = 'a' ORDER BY event_id",
+      "SELECT event_id, event_type FROM events WHERE substr(md5(CAST(event_id AS VARCHAR)), 32, 1) = 'a' ORDER BY event_id",
     "q09_column_stats" ->
       """SELECT min(l_quantity) AS min_q, max(l_quantity) AS max_q,
         | sum(l_quantity) AS sum_q, avg(l_quantity) AS mean_q,

@@ -103,7 +103,7 @@ object Coverage2Queries {
       "expect_column_values_to_be_decreasing", "countdown",
       "countdown IS NOT NULL AND NOT (__prev IS NULL OR countdown <= __prev)",
       "countdown IS NULL", 0.9,
-      """(SELECT *, lag(countdown) OVER (PARTITION BY user_id ORDER BY event_id) AS __prev
+      """(SELECT *, last_value(countdown IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS __prev
         | FROM (SELECT user_id, event_id,
         |   CAST(CASE WHEN event_id % 101 = 0 THEN 1000000 ELSE -event_id END AS BIGINT) AS countdown
         |   FROM events) d) tt""".stripMargin)))

@@ -211,7 +211,7 @@ object Coverage3Queries {
     mapSql(MapBranch("expect_column_values_to_be_increasing", "o_orderkey",
       "o_orderkey IS NOT NULL AND NOT (__prev IS NULL OR o_orderkey >= __prev)",
       "o_orderkey IS NULL", 1.0,
-      "(SELECT o_orderkey, lag(o_orderkey) OVER (ORDER BY o_orderkey) AS __prev FROM orders) tt")),
+      "(SELECT o_orderkey, last_value(o_orderkey IGNORE NULLS) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS __prev FROM orders) tt")),
     mapSql(MapBranch("expect_column_values_to_not_be_null", "o_custkey",
       "o_custkey IS NULL", "FALSE", 1.0, "orders")),
     mapSql(MapBranch("expect_column_values_to_be_in_set", "o_orderstatus",
@@ -241,7 +241,7 @@ object Coverage3Queries {
       s"""SELECT expectation_type, domain, success, element_count, missing_count, unexpected_count
          |FROM (${union(Seq(
                mapSql(MapBranch("expect_column_pair_values_to_be_equal", "a,b",
-                 "NOT (a IS NULL AND b IS NULL) AND NOT (a = b)",
+                 "NOT (a IS NULL AND b IS NULL) AND NOT (a IS NOT DISTINCT FROM b)",
                  "a IS NULL AND b IS NULL", 0.85, derived)),
                mapSql(MapBranch("expect_column_pair_values_to_be_in_set", "a,b",
                  s"NOT (a IS NULL AND b IS NULL) AND NOT ($inSet)",

@@ -78,9 +78,7 @@ object CoverageQueries {
     "q33_partition_hashed" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       // partition_on_hashed_column (sparkdf_data_partitioner.py:272-290)
-      t(dir, "events")
-        .filter(conv(substring(md5(col("user_id").cast(StringType)), 1, 2), 16, 10)
-          .cast(LongType) % 8 === 3)
+      graft.sources.Partitioners.onHashedColumn(t(dir, "events"), "user_id", 8, 3)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     }),

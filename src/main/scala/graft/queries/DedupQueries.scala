@@ -61,8 +61,7 @@ object DedupQueries {
       .mkString("vecs AS (", " UNION ALL ", ")")
 
   // --- oracle SQL fragments ---------------------------------------------------
-  private val normSql =
-    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val normSql = graft.functions.TextFunctions.normTextSql("text")
 
   private def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"

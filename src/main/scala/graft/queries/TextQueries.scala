@@ -13,7 +13,7 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val normSql = graft.functions.TextFunctions.normTextSql("text")
   private val nTokSql =
     s"CASE WHEN $normSql = '' THEN 0 ELSE CAST(len(string_split($normSql, ' ')) AS INT) END"
   private def hitsSql(ws: Seq[String]): String = {
@@ -54,7 +54,7 @@ object TextQueries {
     "q21_text_stats" ->
       s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars_text,
          | $nTokSql AS n_tokens,
-         | CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS INT) AS n_bpe_tokens,
+         | CAST(len(regexp_extract_all(coalesce(text, ''), '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS INT) AS n_bpe_tokens,
          | $avgLenSql AS avg_token_len
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q22_text_quality" ->

@@ -45,7 +45,12 @@ object StreamingValidate {
 
   /** Stateful per-conversation role-sequence validity. Within a micro-batch
     * the group is sorted by turn_idx; state carries the last seen turn so
-    * conversations spanning micro-batches stay correct. */
+    * IN-ORDER conversations spanning micro-batches stay correct. A LATE
+    * turn (turn_idx ≤ state's lastIdx — its true predecessor was already
+    * consumed by an earlier batch) cannot be adjacency-checked: it gets
+    * the order-free rules only (allowed role, turn-0-is-system) and does
+    * NOT regress the state, so subsequent turns keep validating against
+    * the genuinely latest one. */
   def roleSeqStateful(turns: Dataset[TurnKey]): Dataset[RoleSeqOut] = {
     import turns.sparkSession.implicits._
     turns.groupByKey(_.conv_id)
@@ -55,10 +60,13 @@ object StreamingValidate {
           val sorted = it.toSeq.sortBy(_.turn_idx)
           var prev = state.getOption
           val out = sorted.map { t =>
-            val ok = QualityFilter.AllowedRoles.contains(t.role) &&
-              (t.turn_idx != 0 || t.role == "system") &&
-              prev.forall(p => t.role != p.lastRole || t.role == "tool")
-            prev = Some(RoleState(t.turn_idx, t.role))
+            val base = QualityFilter.AllowedRoles.contains(t.role) &&
+              (t.turn_idx != 0 || t.role == "system")
+            val late = prev.exists(p => t.turn_idx <= p.lastIdx)
+            val ok =
+              if (late) base // predecessor unknown: adjacency rule skipped
+              else base && prev.forall(p => t.role != p.lastRole || t.role == "tool")
+            if (!late) prev = Some(RoleState(t.turn_idx, t.role))
             RoleSeqOut(t.conv_id, t.turn_idx, ok)
           }
           prev.foreach(state.update)
@@ -83,7 +91,7 @@ object StreamingValidate {
     stream
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
       .withColumn("__text_hash",
-        md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))))
+        md5(graft.operators.Dedup.normText(col(textCol))))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")
