@@ -560,12 +560,28 @@ object BetweenCheck {
       Some(dt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble)
     case _ => None
   }
-  /** Bounds are Any so they can carry an unresolved "$param" string until
+  /** ISO-8601 / SQL-style datetime strings as bounds (common in GE JSON
+    * suites for min/max expectations on date columns) compare temporally
+    * on the same java.sql epoch-millis rank as typed temporal bounds. */
+  private def temporalString(s: String): Option[Double] = {
+    def opt(f: => Double): Option[Double] =
+      try Some(f) catch { case _: Exception => None }
+    opt(java.sql.Date.valueOf(s).getTime.toDouble)
+      .orElse(opt(java.sql.Timestamp.valueOf(s).getTime.toDouble))
+      .orElse(opt(java.time.LocalDateTime.parse(s)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble))
+      .orElse(opt(java.time.Instant.parse(s).toEpochMilli.toDouble))
+  }
+
+  /** Bounds are Any so they can carry an unresolved ParamRef until
     * SuiteParams.resolve runs; a ref reaching evaluation is an error. */
   def bound(o: Option[Any]): Option[Double] = o.map { v =>
     rank(v).getOrElse(v match {
-      case s: String if s.startsWith("$") => throw new IllegalArgumentException(
-        s"unresolved suite parameter: $s (call SuiteParams.resolve first)")
+      case ParamRef(name) => throw new IllegalArgumentException(
+        s"unresolved suite parameter: $$$name (call SuiteParams.resolve first)")
+      case s: String => temporalString(s).getOrElse(
+        throw new IllegalArgumentException(
+          s"non-numeric/non-temporal bound: $s"))
       case other => throw new IllegalArgumentException(
         s"non-numeric/non-temporal bound: $other")
     })
@@ -1002,8 +1018,16 @@ object ColumnPartition {
     val nBins =
       if (iqr < 1.0e-10) sturgesBins
       else {
-        val fd = (2.0 * iqr) / math.pow(nonnull.toDouble, 1.0 / 3.0)
-        math.max(sturgesBins, math.ceil((hi - lo) / fd).toInt)
+        // FD bin count ⌈(hi-lo)/fd⌉ with fd = 2·iqr·n^(-1/3), defined
+        // EXACTLY as the smallest b with b³ ≥ r³·n for r = (hi-lo)/(2·iqr):
+        // only IEEE *,/ and comparisons (bit-identical across engines) —
+        // a libm pow/cbrt in the DEFINITION could flip the ceil by an ulp.
+        // cbrt below is merely a start hint; the loop decides.
+        val r = (hi - lo) / (2.0 * iqr)
+        val cube = r * r * r * nonnull.toDouble
+        var b = math.max(1L, math.cbrt(cube).toLong - 2L)
+        while (b.toDouble * b * b < cube) b += 1
+        math.max(sturgesBins.toLong, b).toInt
       }
     edges(lo, hi, nBins)
   }

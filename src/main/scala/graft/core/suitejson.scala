@@ -31,11 +31,12 @@ object SuiteJson {
 
   // --- kwarg readers ----------------------------------------------------------
 
-  /** JSON value → Any, with {"$PARAMETER": "x"} → "$x". */
+  /** JSON value → Any, with {"$PARAMETER": "x"} → ParamRef("x") — the
+    * DISTINCT ref type, so literal "$..." data strings stay literal. */
   private def value(n: JsonNode): Any = n match {
     case null => null
     case _ if n.isNull => null
-    case _ if n.isObject && n.has("$PARAMETER") => "$" + n.get("$PARAMETER").asText()
+    case _ if n.isObject && n.has("$PARAMETER") => ParamRef(n.get("$PARAMETER").asText())
     case _ if n.isTextual => n.asText()
     case _ if n.isIntegralNumber => n.longValue()
     case _ if n.isNumber => n.doubleValue()
@@ -59,14 +60,15 @@ object SuiteJson {
         s"$$PARAMETER ref not supported for typed kwarg '$name'")
       n
     }
-    /** String slots DO support refs (SuiteParams resolves whole-string
-      * "$name" values for regex/like patterns). */
+    /** String slots DO support refs via the in-band NUL marker
+      * (SuiteParams resolves it for regex/like patterns; a literal
+      * "$name" pattern string stays a literal pattern). */
     def str(name: String): String = node(name).map {
-      case n if isRef(n) => "$" + n.get("$PARAMETER").asText()
+      case n if isRef(n) => ParamRef.inString(n.get("$PARAMETER").asText())
       case n => n.asText()
     }.getOrElse(throw new IllegalArgumentException(s"missing kwarg: $name"))
     def strOpt(name: String): Option[String] = node(name).map {
-      case n if isRef(n) => "$" + n.get("$PARAMETER").asText()
+      case n if isRef(n) => ParamRef.inString(n.get("$PARAMETER").asText())
       case n => n.asText()
     }
     def anyOpt(name: String): Option[Any] = node(name).map(value)

@@ -8,11 +8,30 @@ package graft.core
   * with quantity ≥ $min_qty" day after day.
   *
   * Parameterizable slots in this typed model: every Any-typed value slot
-  * (between bounds — map and aggregate —, value sets, pair value sets),
-  * String pattern slots (regex/like, resolved only when the whole string
-  * is a "$name" ref), row_condition strings and SQL passthroughs (every
-  * "$name" occurrence replaced with a SQL literal). An unresolved "$name"
-  * that survives to evaluation fails that expectation, not the run. */
+  * (between bounds — map and aggregate —, value sets, pair value sets)
+  * carries a `ParamRef`; String pattern slots (regex/like) carry the
+  * `ParamRef.inString` marker; row_condition strings and SQL passthroughs
+  * substitute every "$name" token with a SQL literal (in-band by nature —
+  * they are SQL text). An unresolved ref that survives to evaluation
+  * fails that expectation, not the run. */
+/** A late-bound suite-parameter reference. Only this type is resolved by
+  * SuiteParams — produced by SuiteJson's `{"$PARAMETER": "name"}` form or
+  * constructed explicitly via the Scala API. Literal "$..." data strings
+  * (prices, shell snippets, "$admin" role labels) are plain values and
+  * never collapse into the ref representation (reference:
+  * core/suite_parameters.py — only the dict form is a ref there too). */
+final case class ParamRef(name: String)
+
+object ParamRef {
+  /** In-band ref marker for String-typed slots (regex / like patterns),
+    * which cannot carry a ParamRef value. NUL never occurs in a
+    * legitimate pattern, so literal strings are never mistaken for refs. */
+  def inString(name: String): String = "\u0000" + name
+  private[core] def fromString(s: String): Option[String] =
+    if (s != null && s.nonEmpty && s.charAt(0) == '\u0000') Some(s.substring(1))
+    else None
+}
+
 object SuiteParams {
 
   def resolve(suite: Suite, params: Map[String, Any]): Suite =
@@ -26,14 +45,12 @@ object SuiteParams {
       }
     })
 
-  /** A ref is "$" + a valid identifier ONLY — "$10"-style data values
-    * (price labels etc.) stay literal instead of failing resolution. */
-  private val RefName = """\$([A-Za-z_][A-Za-z0-9_]*)""".r
+  /** A ref is the distinct ParamRef type (or its in-band string marker)
+    * ONLY — any plain string, including identifier-shaped "$admin"-style
+    * data values, stays literal instead of resolving or failing. */
   private def ref(v: Any): Option[String] = v match {
-    case s: String => s match {
-      case RefName(name) => Some(name)
-      case _ => None
-    }
+    case ParamRef(name) => Some(name)
+    case s: String => ParamRef.fromString(s)
     case _ => None
   }
 
@@ -64,11 +81,21 @@ object SuiteParams {
     * undefined $min_qty sharing its prefix (the undefined ref is left in
     * place and fails loudly at SQL parse time). */
   private def sql(params: Map[String, Any])(s: String): String =
-    SqlRefToken.replaceAllIn(s, m =>
-      params.get(m.group(1)) match {
-        case Some(v) => java.util.regex.Matcher.quoteReplacement(sqlLit(v))
-        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
-      })
+    ParamRef.fromString(s) match {
+      // a whole-condition {"$PARAMETER": ...} ref: the parameter IS the
+      // SQL text (not a quoted literal)
+      case Some(name) => params.get(name) match {
+        case Some(v: String) => v
+        case Some(v) => sqlLit(v)
+        case None => throw new IllegalArgumentException(
+          s"undefined suite parameter: $$$name")
+      }
+      case None => SqlRefToken.replaceAllIn(s, m =>
+        params.get(m.group(1)) match {
+          case Some(v) => java.util.regex.Matcher.quoteReplacement(sqlLit(v))
+          case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+        })
+    }
 
   private def cond(params: Map[String, Any])(c: Option[String]): Option[String] =
     c.map(sql(params))

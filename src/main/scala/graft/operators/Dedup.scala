@@ -58,12 +58,12 @@ object Dedup {
     * bounds the worst-case bucket join (see capBuckets). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, threshold: Double = 0.5,
-      maxBucket: Int = Int.MaxValue): DataFrame =
+      maxBucket: Int = Lsh.DefaultMaxBucket): DataFrame =
     minhashLshPairsWithStats(df, idCol, textCol, k, bands, threshold, maxBucket)._1
 
   def minhashLshPairsWithStats(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, threshold: Double = 0.5,
-      maxBucket: Int = Int.MaxValue): (DataFrame, LshStats) = {
+      maxBucket: Int = Lsh.DefaultMaxBucket): (DataFrame, LshStats) = {
     val exploded = df.select(col(idCol).as("doc"),
       posexplode(graft.functions.MinHashSig.minhash_bands(col(textCol), k, bands))
         .as(Seq("band_idx", "band_key")))
@@ -99,7 +99,7 @@ object Dedup {
     * stays bounded. Shuffle carries (shingle-hash, doc_id) pairs only;
     * full shingle sets join back once per verified side. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, maxDf: Int = Int.MaxValue): DataFrame = {
+      threshold: Double = 0.5, maxDf: Int = Lsh.DefaultMaxDf): DataFrame = {
     val sh = df.select(col(idCol).as("__sid"),
       graft.functions.MinHashSig.shingles_native(col(textCol)).as("__sh"))
     // inverted index on the shingle md5 (32 bytes, never the shingle text)
@@ -150,11 +150,11 @@ object Dedup {
     * only 8 bytes, so it rides the band shuffle (no join-back needed);
     * `maxBucket` bounds hot boilerplate buckets (see capBuckets). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6, maxBucket: Int = Int.MaxValue): DataFrame =
+      maxHamming: Int = 6, maxBucket: Int = Lsh.DefaultMaxBucket): DataFrame =
     simhashPairsWithStats(df, idCol, textCol, maxHamming, maxBucket)._1
 
   def simhashPairsWithStats(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6, maxBucket: Int = Int.MaxValue): (DataFrame, LshStats) = {
+      maxHamming: Int = 6, maxBucket: Int = Lsh.DefaultMaxBucket): (DataFrame, LshStats) = {
     val withFp = df.select(col(idCol).as("doc"), simhash(col(textCol)).as("fp"))
     val bandKeys = array((0 until 4).map(b =>
       shiftright(col("fp"), b * 15).bitwiseAND(lit(32767L))): _*)

@@ -12,6 +12,17 @@ object Lsh {
     * here. */
   final case class LshStats(droppedBuckets: Long, droppedRows: Long)
 
+  /** Default hot-bucket cap for every banded-LSH entry point. Finite BY
+    * DEFAULT: the naive call must not be the quadratic one — a single
+    * mass-duplicated boilerplate key above this size is dropped (with
+    * logged counts) rather than exploding into ~cap²/2 candidate pairs.
+    * Callers that need exhaustive candidates (bit-parity oracles, small
+    * corpora) pass Int.MaxValue explicitly. */
+  val DefaultMaxBucket: Int = 10000
+
+  /** Default stop-shingle document-frequency cap (same rationale). */
+  val DefaultMaxDf: Int = 10000
+
   private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Lsh")
 
   /** Skew defense for banded LSH: a mass-duplicated boilerplate key would
@@ -24,24 +35,32 @@ object Lsh {
   def capBuckets(exploded: DataFrame, maxBucket: Int): (DataFrame, LshStats) = {
     if (maxBucket == Int.MaxValue) (exploded, LshStats(0L, 0L))
     else {
-      // hot-key census runs once and is PERSISTED: it is tiny by
-      // construction (≤ rows/maxBucket keys) and feeds both the stats
-      // aggregate here and the broadcast anti-join in the result plan —
-      // without the persist the census (and the banding expressions under
-      // it) would be recomputed at execution time
-      val hot = exploded.groupBy("band_idx", "band_key")
+      // hot-key census: tiny by construction (≤ rows/maxBucket keys — the
+      // same bound that justifies the broadcast anti-join, which collects
+      // to the driver anyway). One job collects keys + counts together; the
+      // collected keys become a local DataFrame so nothing stays cached in
+      // the session (no persist → no cache leak across repeated runs).
+      val hotRows = exploded.groupBy("band_idx", "band_key")
         .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucket)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val r = hot.agg(count(lit(1)).as("nb"),
-        coalesce(sum("__bn"), lit(0L)).as("nr")).head()
-      val stats = LshStats(r.getLong(0), r.getLong(1))
-      if (stats.droppedBuckets > 0)
+        .select("band_idx", "band_key", "__bn").collect()
+      val stats = LshStats(hotRows.length.toLong, hotRows.map(_.getLong(2)).sum)
+      if (stats.droppedBuckets == 0) (exploded, stats)
+      else {
         log.warn(s"LSH bucket cap $maxBucket dropped ${stats.droppedBuckets} " +
           s"hot buckets (${stats.droppedRows} rows) from candidate generation")
-      val capped = exploded.join(
-        broadcast(hot.select("band_idx", "band_key")),
-        Seq("band_idx", "band_key"), "left_anti")
-      (capped, stats)
+        val spark = exploded.sparkSession
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("band_idx",
+            exploded.schema("band_idx").dataType),
+          org.apache.spark.sql.types.StructField("band_key",
+            exploded.schema("band_key").dataType)))
+        val hotDf = spark.createDataFrame(
+          java.util.Arrays.asList(hotRows.map(r =>
+            org.apache.spark.sql.Row(r.get(0), r.get(1))): _*), schema)
+        val capped = exploded.join(broadcast(hotDf),
+          Seq("band_idx", "band_key"), "left_anti")
+        (capped, stats)
+      }
     }
   }
 }

@@ -112,13 +112,13 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bands: Int = 4, bits: Int = 8,
-      maxBucket: Int = Int.MaxValue): DataFrame =
+      maxBucket: Int = Lsh.DefaultMaxBucket): DataFrame =
     lshTopKWithStats(corpus, queries, k, idCol, vecCol, bands, bits, maxBucket)._1
 
   def lshTopKWithStats(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bands: Int = 4, bits: Int = 8,
-      maxBucket: Int = Int.MaxValue): (DataFrame, LshStats) = {
+      maxBucket: Int = Lsh.DefaultMaxBucket): (DataFrame, LshStats) = {
     val (cb, stats) = capBuckets(bandTable(corpus, idCol, vecCol, bands, bits), maxBucket)
     val qb = bandTable(queries, idCol, vecCol, bands, bits)
       .toDF("query_id", "band_idx", "band_key")
@@ -172,7 +172,8 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       l2norm(col(vecCol)).as("__qn"))
     val scored = cand.join(c, "neighbor_id").join(broadcast(q), "query_id")
-      .withColumn("cos", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("cos",
+        try_divide(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")))
     topKPerQuery(scored, k)
   }
 
@@ -185,14 +186,14 @@ object Similarity {
   def embeddingNearDupPairs(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bands: Int = 4, bits: Int = 8,
-      maxBucket: Int = Int.MaxValue): DataFrame =
+      maxBucket: Int = Lsh.DefaultMaxBucket): DataFrame =
     embeddingNearDupPairsWithStats(df, threshold, idCol, vecCol, bands, bits,
       maxBucket)._1
 
   def embeddingNearDupPairsWithStats(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bands: Int = 4, bits: Int = 8,
-      maxBucket: Int = Int.MaxValue): (DataFrame, LshStats) = {
+      maxBucket: Int = Lsh.DefaultMaxBucket): (DataFrame, LshStats) = {
     val (capped, stats) = capBuckets(bandTable(df, idCol, vecCol, bands, bits), maxBucket)
     val a = capped.select(col("doc").as("vec_a"), col("band_idx"), col("band_key"))
     val b = capped.select(col("doc").as("vec_b"), col("band_idx"), col("band_key"))

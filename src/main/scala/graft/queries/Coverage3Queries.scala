@@ -144,16 +144,23 @@ object Coverage3Queries {
     val qnt = s"""SELECT 'quantile', CAST(i AS INT), qs[i + 1]
                  |FROM (SELECT quantile_cont(l_quantity, $qLits) AS qs FROM lineitem),
                  |     (SELECT unnest(generate_series(0, $QuantileBins)) AS i)""".stripMargin
-    // auto: n_bins = max(ceil(log2(n+1)), ceil((mx-mn)/fd)), fd = 2·iqr/n^(1/3);
-    // ceil(log2(n+1)) = bitLength(n) = length(bin(n)) — exact integer
-    // arithmetic on both engines (libm log2 could flip the ceil by an ulp)
+    // auto: n_bins = max(bitLength(n), fd_bins); bitLength(n) =
+    // length(bin(n)) — exact integer arithmetic; fd_bins is the smallest b
+    // with b³ ≥ r³·n for r = (mx-mn)/(2·iqr) — ⌈(mx-mn)/fd⌉ re-expressed
+    // with IEEE *,/ and comparisons only (no libm pow in either engine),
+    // matching ColumnPartition.auto's definition bit for bit
     val auto = s"""SELECT 'auto', CAST(i AS INT), mn + (mx - mn) * i / nb
                   |FROM (
-                  |  SELECT mn, mx, GREATEST(CAST(length(bin(CAST(cnt AS BIGINT))) AS BIGINT),
-                  |    CAST(ceil((mx - mn) / ((2.0 * (q75 - q25)) / pow(cnt, 1.0/3.0))) AS BIGINT)) AS nb
-                  |  FROM (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx,
-                  |    quantile_cont(l_quantity, 0.25) AS q25, quantile_cont(l_quantity, 0.75) AS q75,
-                  |    CAST(count(l_quantity) AS DOUBLE) AS cnt FROM lineitem)),
+                  |  SELECT mn, mx, GREATEST(CAST(length(bin(CAST(cnt AS BIGINT))) AS BIGINT), fdb) AS nb
+                  |  FROM (
+                  |    SELECT mn, mx, cnt,
+                  |      min(CASE WHEN CAST(b AS DOUBLE)*b*b >= r*r*r*cnt THEN b END) AS fdb
+                  |    FROM (SELECT mn, mx, cnt, (mx - mn) / (2.0 * (q75 - q25)) AS r
+                  |          FROM (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx,
+                  |            quantile_cont(l_quantity, 0.25) AS q25, quantile_cont(l_quantity, 0.75) AS q75,
+                  |            CAST(count(l_quantity) AS DOUBLE) AS cnt FROM lineitem)),
+                  |         (SELECT unnest(generate_series(1, 100000)) AS b)
+                  |    GROUP BY mn, mx, cnt, r)),
                   |  (SELECT unnest(generate_series(0, 10000)) AS i)
                   |WHERE i <= nb""".stripMargin
     s"$uni\nUNION ALL\n$qnt\nUNION ALL\n$auto\nORDER BY strategy, idx"

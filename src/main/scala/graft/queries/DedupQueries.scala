@@ -143,22 +143,27 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
       Dedup.exactDedup(augDocsExact(s, dir), "text", "doc_id")
         .orderBy("keep_id")),
     "q15_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLshPairs(augDocs(s, dir), "doc_id", "text", K, Bands, 0.5)
+      Dedup.minhashLshPairs(augDocs(s, dir), "doc_id", "text", K, Bands, 0.5,
+        maxBucket = Int.MaxValue) // bit-parity oracle: exhaustive candidates
         .orderBy("doc_a", "doc_b")),
     "q57_dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(augDocs(s, dir), "doc_id", "text", 0.5)
+      Dedup.ngramJaccardPairs(augDocs(s, dir), "doc_id", "text", 0.5,
+        maxDf = Int.MaxValue) // bit-parity oracle: exhaustive candidates
         .orderBy("doc_a", "doc_b")),
     "q16_dedup_simhash_fp" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
         .orderBy("doc_id")),
     "q17_dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(augDocs(s, dir), "doc_id", "text", 6)
+      Dedup.simhashPairs(augDocs(s, dir), "doc_id", "text", 6,
+        maxBucket = Int.MaxValue) // bit-parity oracle: exhaustive candidates
         .orderBy("doc_a", "doc_b")),
     "q18_dedup_embedding" -> ((s, dir) =>
-      Similarity.embeddingNearDupPairs(augEmbs(s, dir), 0.95)
+      Similarity.embeddingNearDupPairs(augEmbs(s, dir), 0.95,
+        maxBucket = Int.MaxValue) // bit-parity oracle: exhaustive candidates
         .orderBy("vec_a", "vec_b")),
     "q49_dedup_embedding_10x" -> ((s, dir) =>
-      Similarity.embeddingNearDupPairs(embs10x(s, dir), 0.95)
+      Similarity.embeddingNearDupPairs(embs10x(s, dir), 0.95,
+        maxBucket = Int.MaxValue) // bit-parity oracle: exhaustive candidates
         .orderBy("vec_a", "vec_b")),
     "q19_sim_topk" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -167,7 +172,8 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
     }),
     "q20_sim_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
-      Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0), 3)
+      Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0), 3,
+        maxBucket = Int.MaxValue) // bit-parity oracle: exhaustive candidates
         .orderBy("query_id", "rank")
     }),
     "q55_sim_ivf" -> ((s, dir) => {

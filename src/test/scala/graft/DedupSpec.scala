@@ -52,14 +52,33 @@ class DedupSpec extends AnyFunSuite {
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)))
     assert(stats.droppedBuckets > 0 && stats.droppedRows >= 60)
-    // uncapped finds the boilerplate clique too
-    val all = Dedup.minhashLshPairs(d, "doc_id", "text", 12, 4, 0.5).collect()
+    // exhaustive (cap disabled) finds the boilerplate clique too
+    val all = Dedup.minhashLshPairs(d, "doc_id", "text", 12, 4, 0.5,
+      maxBucket = Int.MaxValue).collect()
     assert(all.length > 1000) // 60*59/2 boilerplate pairs + the planted one
     // simhash path shares the cap
     val (spairs, sstats) =
       Dedup.simhashPairsWithStats(d, "doc_id", "text", 6, maxBucket = 10)
     assert(sstats.droppedRows >= 60)
     assert(!spairs.collect().exists(r => r.getLong(0) >= 100L))
+  }
+
+  test("skew cap is ON BY DEFAULT: a planted >10k-duplicate key is dropped") {
+    // the naive call must not be the quadratic one: 10_001 identical
+    // boilerplate docs exceed Lsh.DefaultMaxBucket (10_000), so the
+    // default entry point drops that bucket (≈5·10⁷ candidate pairs
+    // never generated) while a genuine distinct near-dup pair survives
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val boiler = spark.range(100L, 100L + 10001L)
+      .select(col("id").as("doc_id"),
+        lit("spam spam wonderful spam eggs bacon and spam again").as("text"))
+    val d = Seq((1L, base), (2L, base + " tail")).toDF("doc_id", "text")
+      .unionByName(boiler)
+    val (pairs, stats) = Dedup.minhashLshPairsWithStats(d, "doc_id", "text")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+    assert(stats.droppedBuckets == 4L) // 4 bands, one hot key each
+    assert(stats.droppedRows == 4L * 10001L)
   }
 
   test("ngram-Jaccard pairs: inverted index finds what minhash finds, maxDf prunes") {
@@ -143,6 +162,15 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
     assert(pairs.contains((1L, 2L)))
+    // IVF path: zero-norm corpus AND query vectors must be null-filtered
+    // (try_divide), not crash the job under ANSI division
+    val ivf = Similarity.ivfTopK(d,
+      queries = d.filter(col("vec_id") >= 2L),
+      centroids = d.filter(col("vec_id") === 1L), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(!ivf.exists(_._2 == 3L), "zero-norm corpus vector must not rank")
+    assert(!ivf.exists(_._1 == 3L), "zero-norm query yields no ranked rows")
+    assert(ivf.contains((2L, 1L)))
   }
 
   test("dot product rejects non-float arrays at analysis time") {

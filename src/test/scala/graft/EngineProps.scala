@@ -59,8 +59,8 @@ object EngineProps extends Properties("graft.engine") {
         ExpectColumnValuesToBeBetween("x", Some(lo), Some(hi)),
         ExpectColumnMeanToBeBetween("x", Some(lo.toDouble), Some(hi.toDouble)))))
       val params = Graft.validate(d, Suite("p", Seq(
-        ExpectColumnValuesToBeBetween("x", Some("$lo"), Some("$hi")),
-        ExpectColumnMeanToBeBetween("x", Some("$dlo"), Some("$dhi")))),
+        ExpectColumnValuesToBeBetween("x", Some(ParamRef("lo")), Some(ParamRef("hi"))),
+        ExpectColumnMeanToBeBetween("x", Some(ParamRef("dlo")), Some(ParamRef("dhi"))))),
         suiteParameters = Map("lo" -> lo, "hi" -> hi,
           "dlo" -> lo.toDouble, "dhi" -> hi.toDouble))
       literal.results.zip(params.results).forall { case (a, b) =>

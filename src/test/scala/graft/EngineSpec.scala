@@ -390,14 +390,18 @@ class EngineSpec extends AnyFunSuite {
         Some(java.sql.Date.valueOf("2024-01-01")),
         Some(java.sql.Date.valueOf("2024-01-31")))))).results.head
     assert(rd.success, rd.result)
-    // (f) "$10"-style literal data values are not parameter refs
-    val money = Seq("$10", "$20").toDF("price")
+    // (f) "$10"-style AND identifier-shaped "$admin"-style literal data
+    // values are plain values, never parameter refs (only the distinct
+    // ParamRef type resolves)
+    val money = Seq("$10", "$admin").toDF("price")
     val rm = Graft.validate(money, Suite("t", Seq(
-      ExpectColumnValuesToBeInSet("price", Seq("$10", "$20"))))).results.head
+      ExpectColumnValuesToBeInSet("price", Seq("$10", "$admin")))),
+      suiteParameters = Map("admin" -> "root")).results.head
     assert(rm.success, rm.exception)
-    // (g) distinct-set value sets resolve $params too
+    // (g) distinct-set value sets resolve ParamRefs too
     val rg = Graft.validate(df, Suite("t", Seq(
-      ExpectColumnDistinctValuesToEqualSet("parity", Seq("$a", "$b")))),
+      ExpectColumnDistinctValuesToEqualSet("parity",
+        Seq(ParamRef("a"), ParamRef("b"))))),
       suiteParameters = Map("a" -> "even", "b" -> "odd")).results.head
     assert(rg.success, rg.result)
   }
@@ -447,10 +451,10 @@ class EngineSpec extends AnyFunSuite {
         rowCondition = Some("parity = 'even'")),
       UnexpectedRowsExpectation("SELECT * FROM {batch} WHERE x > 9")))
     val parameterized = Suite("s", Seq(
-      ExpectColumnValuesToBeBetween("x", Some("$min_qty"), Some("$max_qty")),
-      ExpectColumnValuesToBeInSet("parity", Seq("$p1", "$p2")),
-      ExpectColumnMeanToBeBetween("x", Some("$mean_lo"), Some("$mean_hi")),
-      ExpectTableRowCountToBeBetween(Some("$rows"), Some("$rows")),
+      ExpectColumnValuesToBeBetween("x", Some(ParamRef("min_qty")), Some(ParamRef("max_qty"))),
+      ExpectColumnValuesToBeInSet("parity", Seq(ParamRef("p1"), ParamRef("p2"))),
+      ExpectColumnMeanToBeBetween("x", Some(ParamRef("mean_lo")), Some(ParamRef("mean_hi"))),
+      ExpectTableRowCountToBeBetween(Some(ParamRef("rows")), Some(ParamRef("rows"))),
       ExpectColumnValuesToBeBetween("x", Some(6), None,
         rowCondition = Some("parity = $p1")),
       UnexpectedRowsExpectation("SELECT * FROM {batch} WHERE x > $max_qty")))
@@ -466,14 +470,14 @@ class EngineSpec extends AnyFunSuite {
     }
     // undefined parameter fails that expectation, not the run
     val sr = Graft.validate(df, Suite("s", Seq(
-      ExpectColumnValuesToBeBetween("x", Some("$nope"), None),
+      ExpectColumnValuesToBeBetween("x", Some(ParamRef("nope")), None),
       ExpectColumnValuesToNotBeNull("x"))),
       suiteParameters = Map("other" -> 1))
     assert(!sr.results.head.success && sr.results.head.exception.isDefined)
     assert(sr.results(1).success)
     // even with NO parameter map at all: refs must not evaluate literally
     val sr2 = Graft.validate(df, Suite("s", Seq(
-      ExpectColumnValuesToBeBetween("x", Some("$min_x"), None),
+      ExpectColumnValuesToBeBetween("x", Some(ParamRef("min_x")), None),
       ExpectColumnValuesToNotBeNull("x"))))
     assert(!sr2.results.head.success && sr2.results.head.exception.isDefined)
     assert(sr2.results(1).success)
