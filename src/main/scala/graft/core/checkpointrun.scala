@@ -38,14 +38,35 @@ object SuiteCheckpoint {
       name: String, success: Boolean, results: Seq[SuiteResult])
 
   /** Run every (batchName, df, suite) validation, fan each result out to
-    * every action, and aggregate overall success — checkpoint.run(). */
+    * every action, and aggregate overall success — checkpoint.run().
+    *
+    * Cross-suite metric cache: validations over the SAME batch (reference
+    * identity — one Dataset per loaded batch, like the reference's batch
+    * id) plan together through SuiteRunner.runAll, so suites sharing a
+    * fused compute domain cost ONE Spark job and identical value/query
+    * metrics resolve once (execution_engine.py:152-159,557-559). */
   def run(name: String, validations: Seq[(DataFrame, Suite)],
       actions: Seq[ValidationAction] = Nil,
       resultFormat: ResultFormatSpec = ResultFormatSpec.default,
       suiteParameters: Map[String, Any] = Map.empty): CheckpointResult = {
-    val results = validations.map { case (df, suite) =>
-      Graft.validate(df, suite, resultFormat, suiteParameters = suiteParameters)
+    // group validation indexes by batch (Dataset equality IS reference
+    // equality), preserving first-seen batch order and suite order within
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[DataFrame, scala.collection.mutable.ArrayBuffer[Int]]
+    validations.zipWithIndex.foreach { case ((df, _), i) =>
+      groups.getOrElseUpdate(df,
+        scala.collection.mutable.ArrayBuffer.empty[Int]) += i
     }
+    val out = new Array[SuiteResult](validations.size)
+    val runner = new SuiteRunner(resultFormat)
+    groups.foreach { case (df, idxs) =>
+      val resolved = idxs.toSeq.map(i =>
+        SuiteParams.resolve(validations(i)._2, suiteParameters))
+      runner.runAll(df, resolved).zip(idxs).foreach { case (sr, i) =>
+        out(i) = sr
+      }
+    }
+    val results = out.toSeq
     results.foreach(sr => actions.foreach(_.run(name, sr)))
     CheckpointResult(name, results.forall(_.success), results)
   }

@@ -759,17 +759,38 @@ sealed abstract class DistinctSetExpectation(op: String) extends ValueExpectatio
   def valueSet: Seq[Any]
   val expectationType = s"expect_column_distinct_values_to_${op}_set"
   def kwargs = Map("column" -> column, "value_set" -> valueSet)
+  /** DISTRIBUTED set compare: success comes from membership COUNTS over the
+    * distinct values (subset ⟺ zero values outside the set; superset ⟺
+    * every wanted value present) — never from collecting the distinct
+    * values to the driver, so a 10⁹-distinct column can't OOM it. The
+    * observed_value sample is a distributed ordered top-k capped at
+    * MaxResultRecords (the reference returns the full list — fine in
+    * pandas, a driver bomb at scale). */
   def run(df: DataFrame): Evr = {
-    val observed = df.filter(col(column).isNotNull).select(col(column))
-      .distinct().collect().map(_.get(0)).toSet
-    val want = valueSet.toSet
+    // a null in value_set can never be observed (distinct is over non-null
+    // values) and must not poison isin's three-valued logic
+    val wantNN = valueSet.filterNot(_ == null).distinct
+    val wantHasNull = valueSet.contains(null)
+    val dist = df.filter(col(column).isNotNull)
+      .select(col(column).as("__v")).distinct()
+    val inWant =
+      if (wantNN.isEmpty) lit(false) else col("__v").isin(wantNN: _*)
+    val r = dist.agg(
+      sum(when(inWant, 1L).otherwise(0L)).as("present"),
+      sum(when(!inWant, 1L).otherwise(0L)).as("extra")).head()
+    def cnt(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    val extra = cnt(1)
+    val missingWanted =
+      (wantNN.size - cnt(0)) + (if (wantHasNull) 1L else 0L)
     val ok = op match {
-      case "be_in" => observed.subsetOf(want)
-      case "contain" => want.subsetOf(observed)
-      case "equal" => observed == want
+      case "be_in" => extra == 0L
+      case "contain" => missingWanted == 0L
+      case "equal" => extra == 0L && missingWanted == 0L
     }
-    Evr(expectationType, kwargs, ok,
-      Map("observed_value" -> observed.toSeq.map(String.valueOf).sorted))
+    val obs = dist.select(col("__v").cast(StringType).as("__s"))
+      .orderBy("__s").limit(ResultFormat.MaxResultRecords)
+      .collect().map(_.getString(0)).toSeq
+    Evr(expectationType, kwargs, ok, Map("observed_value" -> obs))
   }
 }
 final case class ExpectColumnDistinctValuesToBeInSet(column: String, valueSet: Seq[Any],
@@ -783,6 +804,11 @@ final case class ExpectColumnDistinctValuesToEqualSet(column: String, valueSet: 
   * 557-860). `entropy` replicates scipy.stats.entropy(pk, qk): both vectors
   * are normalized to sum 1, then Σ p·ln(p/q); any p>0 with q=0 → +∞. */
 object KlMath {
+  /** Driver-side cap for the categorical value histogram (fail-loud above;
+    * the reference's pandas path has the same implicit driver-memory
+    * limit, just without the guard). */
+  val MaxCategories = 10000
+
   def entropy(pk: Seq[Double], qk: Seq[Double]): Double = {
     val ps = pk.sum
     val qs = qk.sum
@@ -860,9 +886,17 @@ final case class ExpectColumnKlDivergenceToBeLessThan(column: String,
     case other => String.valueOf(other)
   }
   def run(df: DataFrame): Evr = {
-    val counts = df.filter(col(column).isNotNull).groupBy(col(column))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => keyOf(r.get(0)) -> r.getLong(1)).toMap
+    // categorical KL is driver-side arithmetic over the value histogram by
+    // nature (as in the reference) — but a high-cardinality column must
+    // fail LOUDLY instead of OOMing the driver with an uncapped collect
+    val rows = df.filter(col(column).isNotNull).groupBy(col(column))
+      .agg(count(lit(1)).as("n"))
+      .limit(KlMath.MaxCategories + 1).collect()
+    require(rows.length <= KlMath.MaxCategories,
+      s"categorical KL: column '$column' has more than " +
+        s"${KlMath.MaxCategories} distinct values — use the continuous " +
+        "(binned) form for high-cardinality columns")
+    val counts = rows.map(r => keyOf(r.get(0)) -> r.getLong(1)).toMap
     val expectedW = partitionValues.map(keyOf).zip(partitionWeights).toMap
     val unexpected = counts.keySet.diff(expectedW.keySet).toSeq.sorted
     // union index, expected-first like the reference's concat

@@ -64,9 +64,20 @@ final class SuiteRunner(
     throw last
   }
 
-  def run(df: DataFrame, suite: Suite): SuiteResult = {
+  def run(df: DataFrame, suite: Suite): SuiteResult =
+    runAll(df, Seq(suite)).head
+
+  /** Validate SEVERAL suites against one batch in a single planning unit —
+    * the cross-suite metric cache (reference: execution_engine.py:152-159
+    * keys resolved metrics by (metric, domainId, valueId) for a whole
+    * session). Map+agg expectations from every suite fuse into ONE job per
+    * compute domain (identical aggregates dedup via the canonical-
+    * expression key), and identical VALUE/query expectations (same case
+    * class, same row_condition) resolve once and share their Evr. */
+  def runAll(df: DataFrame, suites: Seq[Suite]): Seq[SuiteResult] = {
     val evrs = mutable.LinkedHashMap.empty[Int, Evr] // preserve suite order
-    val exps = suite.expectations.toIndexedSeq
+    val exps = suites.flatMap(_.expectations).toIndexedSeq
+    val bounds = suites.map(_.expectations.size).scanLeft(0)(_ + _)
 
     def record(i: Int, t: Try[Evr]): Unit = evrs(i) = t match {
       case Success(e) => e
@@ -98,18 +109,21 @@ final class SuiteRunner(
       }
     }
 
-    // -- VALUE expectations: one small job each -------------------------------
+    // -- VALUE expectations: one small job each; identical expectations
+    // (case-class equality covers type, kwargs AND row_condition) resolve
+    // once across the planning unit and share the Evr
+    val valueMemo = mutable.Map.empty[Expectation, Try[Evr]]
     exps.zipWithIndex.foreach {
       case (e: ValueExpectation, i) =>
-        record(i, Try(withRetry(
-          e.run(e.rowCondition.map(df.filter).getOrElse(df)))))
+        record(i, valueMemo.getOrElseUpdate(e, Try(withRetry(
+          e.run(e.rowCondition.map(df.filter).getOrElse(df))))))
       case _ =>
     }
 
-    // -- query expectations ----------------------------------------------------
+    // -- query expectations (memoized like value expectations) ----------------
     exps.zipWithIndex.foreach {
       case (e: UnexpectedRowsExpectation, i) =>
-        record(i, Try(withRetry {
+        record(i, valueMemo.getOrElseUpdate(e, Try(withRetry {
           // unique per-evaluation view: a fixed name would clobber a user's
           // session view and race across concurrent validations
           val view = s"${batchViewName}_${java.util.UUID.randomUUID()
@@ -118,24 +132,33 @@ final class SuiteRunner(
           try {
             val sql = e.unexpectedRowsQuery.replace("{batch}", view)
             val resDf = df.sparkSession.sql(sql)
-            val rows = resDf.limit(MaxResultRecords).collect()
-            // observed_value is the TRUE unexpected-row count; the capped
-            // collect is only the sample (unexpected_rows_expectation.py:96).
-            val total: Long =
-              if (rows.length < MaxResultRecords) rows.length.toLong
-              else resDf.count()
-            Evr(e.expectationType, e.kwargs, rows.isEmpty, Map(
+            // ONE job: the TRUE unexpected-row count and the capped row
+            // sample come from a single fused aggregate (the old shape
+            // re-ran the whole query for the count when the sample cap
+            // was hit). observed_value stays the true count
+            // (unexpected_rows_expectation.py:96).
+            val rowStr = concat(lit("["), concat_ws(",",
+              resDf.columns.map(c =>
+                coalesce(col(c).cast(StringType), lit("null"))): _*), lit("]"))
+            val r = resDf.agg(count(lit(1)).as("__n"),
+              collect_limited(rowStr, MaxResultRecords).as("__rows")).head()
+            val total = r.getLong(0)
+            val rows = r.getAs[scala.collection.Seq[String]](1)
+            Evr(e.expectationType, e.kwargs, total == 0L, Map(
               "observed_value" -> total,
               "unexpected_rows" -> rows.take(resultFormat.partialUnexpectedCount)
-                .map(_.toString).toSeq))
+                .toSeq))
           } finally df.sparkSession.catalog.dropTempView(view)
-        }))
+        })))
       case _ =>
     }
 
-    SuiteResult.of(suite.name, exps.indices.map(i =>
+    val all = exps.indices.map(i =>
       evrs.getOrElse(i, Evr(exps(i).expectationType, exps(i).kwargs,
-        success = false, Map.empty, Some("not evaluated")))))
+        success = false, Map.empty, Some("not evaluated"))))
+    suites.zipWithIndex.map { case (s, k) =>
+      SuiteResult.of(s.name, all.slice(bounds(k), bounds(k + 1)))
+    }
   }
 
   /** Pre-resolve z-score dependencies, split window-shaped conditions into
@@ -296,29 +319,24 @@ final class SuiteRunner(
     })
   }
 
-  /** One projection + one aggregate over `domainDf` for the given map and
-    * aggregate expectations. Exposed package-private so plan tests can
-    * assert the fused frame's physical plan (e.g. contains no Window). */
+  /** One projection + one SUMS-ONLY aggregate over `domainDf` for the given
+    * map and aggregate expectations — plain count/sum-when columns, so the
+    * whole fused pass is a codegen'd HashAggregate (no ObjectHashAggregate
+    * anywhere in the steady state). Unexpected-value/index SAMPLES are
+    * deferred to [[sampleRow]], which runs only for the expectations whose
+    * unexpected count came back non-zero — an all-green suite costs exactly
+    * one whole-stage-codegen scan. Exposed package-private so plan tests
+    * can assert the fused frame's physical plan. */
   private[graft] def fusedFrame(domainDf: DataFrame,
       mapExps: Seq[(MapExpectation, Int)],
       aggExps: Seq[(AggExpectation, Int)],
       unexpectedCond: MapExpectation => Column)
       : (DataFrame, Map[(Int, String), String]) = {
-    val collectValues =
-      resultFormat.rank >= Basic.rank && !resultFormat.excludeUnexpectedValues
-    val collectIndexes = indexColumns.nonEmpty && resultFormat.rank >= Summary.rank
-    val cap =
-      if (resultFormat.rank >= Complete.rank) MaxResultRecords
-      else resultFormat.partialUnexpectedCount
-
     // phase 1: projection — all fused conditions in one pass
     val projCols = mutable.ArrayBuffer[Column](col("*"))
     mapExps.zipWithIndex.foreach { case ((e, _), k) =>
       projCols += unexpectedCond(e).as(s"__u$k")
       projCols += e.missingCondition.as(s"__m$k")
-      if (collectValues) projCols += e.unexpectedValue.as(s"__v$k")
-      if (collectIndexes)
-        projCols += to_json(struct(indexColumns.map(col): _*)).as(s"__ix$k")
     }
     val proj = domainDf.select(projCols.toSeq: _*)
 
@@ -327,10 +345,6 @@ final class SuiteRunner(
     mapExps.zipWithIndex.foreach { case (_, k) =>
       aggCols += sum(when(col(s"__u$k"), 1L).otherwise(0L)).as(s"__uc$k")
       aggCols += sum(when(col(s"__m$k"), 1L).otherwise(0L)).as(s"__mc$k")
-      if (collectValues)
-        aggCols += collect_limited(when(col(s"__u$k"), col(s"__v$k")), cap).as(s"__uv$k")
-      if (collectIndexes)
-        aggCols += collect_limited(when(col(s"__u$k"), col(s"__ix$k")), cap).as(s"__uix$k")
     }
     // Aggregate expectations: identical aggregate expressions requested by
     // two expectations are computed ONCE, keyed by the canonical expression
@@ -350,6 +364,35 @@ final class SuiteRunner(
       }
     }
     (proj.agg(aggCols.head, aggCols.tail.toSeq: _*), resolveAlias.toMap)
+  }
+
+  /** Deferred sample pass: collect_limited value/index samples for ONLY the
+    * expectations whose fused counts showed unexpected rows. The projection
+    * selects just the referenced columns (parquet-pruned), and the
+    * ObjectHashAggregate this forces exists only on the failure path. */
+  private def sampleRow(domainDf: DataFrame,
+      toSample: Seq[MapExpectation],
+      unexpectedCond: MapExpectation => Column,
+      collectValues: Boolean, collectIndexes: Boolean): Row = {
+    val cap =
+      if (resultFormat.rank >= Complete.rank) MaxResultRecords
+      else resultFormat.partialUnexpectedCount
+    val projCols = mutable.ArrayBuffer.empty[Column]
+    toSample.zipWithIndex.foreach { case (e, j) =>
+      projCols += unexpectedCond(e).as(s"__u$j")
+      if (collectValues) projCols += e.unexpectedValue.as(s"__v$j")
+      if (collectIndexes)
+        projCols += to_json(struct(indexColumns.map(col): _*)).as(s"__ix$j")
+    }
+    val proj = domainDf.select(projCols.toSeq: _*)
+    val aggCols = mutable.ArrayBuffer.empty[Column]
+    toSample.indices.foreach { j =>
+      if (collectValues)
+        aggCols += collect_limited(when(col(s"__u$j"), col(s"__v$j")), cap).as(s"__uv$j")
+      if (collectIndexes)
+        aggCols += collect_limited(when(col(s"__u$j"), col(s"__ix$j")), cap).as(s"__uix$j")
+    }
+    withRetry(proj.agg(aggCols.head, aggCols.tail.toSeq: _*).head())
   }
 
   private def runMapAggBatch(domainDf: DataFrame,
@@ -372,14 +415,27 @@ final class SuiteRunner(
         (mapExps ++ aggExps).foreach { case (_, i) => record(i, Failure(ex)) }
       case Success((row, resolveAlias)) =>
         val n = row.getAs[Long]("__n")
+        // deferred samples: only for expectations with unexpected rows
+        val toSample: Seq[Int] =
+          if (!collectValues && !collectIndexes) Nil
+          else mapExps.indices.filter(k => row.getAs[Long](s"__uc$k") > 0L)
+        val samplePos: Map[Int, Int] = toSample.zipWithIndex.toMap
+        lazy val sampleT: Try[Row] = Try(sampleRow(domainDf,
+          toSample.map(k => mapExps(k)._1), unexpectedCond,
+          collectValues, collectIndexes))
         mapExps.zipWithIndex.foreach { case ((e, i), k) =>
           record(i, Try {
             val uc = row.getAs[Long](s"__uc$k")
             val mc = row.getAs[Long](s"__mc$k")
-            val vals: Seq[String] =
-              if (collectValues) row.getAs[scala.collection.Seq[String]](s"__uv$k").toSeq else Nil
-            val ixs: Seq[String] =
-              if (collectIndexes) row.getAs[scala.collection.Seq[String]](s"__uix$k").toSeq else Nil
+            val (vals, ixs) = samplePos.get(k) match {
+              case None => (Nil, Nil)
+              case Some(j) =>
+                val s = sampleT.get // a sample failure fails only samplers
+                (if (collectValues)
+                  s.getAs[scala.collection.Seq[String]](s"__uv$j").toSeq else Nil,
+                 if (collectIndexes)
+                  s.getAs[scala.collection.Seq[String]](s"__uix$j").toSeq else Nil)
+            }
             buildMapEvr(e, n, mc, uc, vals, ixs)
           })
         }

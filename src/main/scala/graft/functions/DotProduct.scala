@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -18,7 +17,7 @@ import org.apache.spark.sql.types._
   * Null array or length mismatch → null, matching zip_with's null padding
   * propagating through the sum. */
 case class DotProduct(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -46,22 +45,22 @@ case class DotProduct(left: Expression, right: Expression)
   @transient private lazy val leftFloat = elemIsFloat(left)
   @transient private lazy val rightFloat = elemIsFloat(right)
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData]
-    val ys = b.asInstanceOf[ArrayData]
-    val n = xs.numElements()
-    if (ys.numElements() != n) return null
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
-      val x = if (leftFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
-      val y = if (rightFloat) ys.getFloat(i).toDouble else ys.getDouble(i)
-      acc += x * y
-      i += 1
-    }
-    acc
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.fold(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dpTmp")
+      s"""
+        java.lang.Double $tmp =
+          graft.functions.DotProduct.fold($a, $b, $leftFloat, $rightFloat);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
@@ -73,4 +72,22 @@ object DotProduct {
   import org.apache.spark.sql.graftshim.Shims
   def dot_product(a: Column, b: Column): Column =
     Shims.toColumn(DotProduct(Shims.toExpression(a), Shims.toExpression(b)))
+
+  /** Static sequential fold (called from generated code); null on length
+    * mismatch or a null element, matching the zip_with formulation. */
+  def fold(xs: ArrayData, ys: ArrayData,
+      leftFloat: Boolean, rightFloat: Boolean): java.lang.Double = {
+    val n = xs.numElements()
+    if (ys.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      val x = if (leftFloat) xs.getFloat(i).toDouble else xs.getDouble(i)
+      val y = if (rightFloat) ys.getFloat(i).toDouble else ys.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
 }

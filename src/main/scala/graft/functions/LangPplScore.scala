@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,11 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * thread-safe). Tokenization is an ASCII scan equivalent to
   * lower(text).split("[^a-z]+") — the synthesized corpora are ASCII; for
   * general unicode the mapPartitions variant remains available.
-  */
-case class LangPplScore(child: Expression)
-  extends UnaryExpression with CodegenFallback {
-
-  import LangPplScore._
+  * Codegen emits a direct static call — no CodegenFallback row
+  * materialization. */
+case class LangPplScore(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("en_hits", IntegerType, nullable = false),
@@ -32,9 +30,40 @@ case class LangPplScore(child: Expression)
 
   override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
+  override def eval(input: InternalRow): Any =
+    LangPplScore.evalUtf8(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code + code"""
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+        graft.functions.LangPplScore.evalUtf8(${c.isNull} ? null : ${c.value});
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangPplScore =
+    copy(child = newChild)
+  override def prettyName: String = "lang_ppl_score"
+}
+
+object LangPplScore {
+  import graft.transcripts.QualityFilter
+
+  val Oov: Double = QualityFilter.OovLogProb
+  private[functions] val Vocab: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    QualityFilter.unigramLogProb.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+  private[functions] val Stop: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    QualityFilter.enStopwords.foreach(s.add)
+    s
+  }
+
+  /** Static per-row kernel (called from generated code). */
+  def evalUtf8(v: UTF8String): InternalRow = {
+    val text = if (v == null) "" else v.toString
     var hits = 0
     var lp = 0.0
     var n = 0
@@ -62,27 +91,7 @@ case class LangPplScore(child: Expression)
     val out = new Array[Any](2)
     out(0) = hits
     out(1) = avg
-    InternalRow.fromSeq(out.toIndexedSeq)
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): LangPplScore =
-    copy(child = newChild)
-  override def prettyName: String = "lang_ppl_score"
-}
-
-object LangPplScore {
-  import graft.transcripts.QualityFilter
-
-  val Oov: Double = QualityFilter.OovLogProb
-  private[functions] val Vocab: java.util.HashMap[String, java.lang.Double] = {
-    val m = new java.util.HashMap[String, java.lang.Double]()
-    QualityFilter.unigramLogProb.foreach { case (k, v) => m.put(k, v) }
-    m
-  }
-  private[functions] val Stop: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    QualityFilter.enStopwords.foreach(s.add)
-    s
+    new GenericInternalRow(out)
   }
 
   def lang_ppl_score(c: Column): Column = {

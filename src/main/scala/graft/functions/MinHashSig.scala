@@ -5,7 +5,8 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -71,6 +72,43 @@ private[functions] object MinHashCore {
     }
     sig
   }
+
+  // --- static per-row kernels (called from generated code) -------------------
+
+  def sigArray(v: UTF8String, k: Int, n: Int): GenericArrayData = {
+    val text = if (v == null) "" else v.toString
+    val sig = signature(shingleSet(text, n), k)
+    new GenericArrayData(sig.map(s => UTF8String.fromString(s): Any))
+  }
+
+  def bandsArray(v: UTF8String, k: Int, bands: Int, n: Int): GenericArrayData = {
+    val text = if (v == null) "" else v.toString
+    val rowsPerBand = k / bands
+    val sig = signature(shingleSet(text, n), k)
+    val md = mdLocal.get()
+    val keys = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder(sig(b * rowsPerBand))
+      var r = 1
+      while (r < rowsPerBand) {
+        sb.append('|').append(sig(b * rowsPerBand + r)); r += 1
+      }
+      keys(b) = UTF8String.fromString(hex(md, sb.toString))
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  def shinglesArray(v: UTF8String, n: Int): GenericArrayData = {
+    val text = if (v == null) "" else v.toString
+    val set = shingleSet(text, n)
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** MinHash signature as ONE native expression: normalizes, shingles
@@ -81,19 +119,24 @@ private[functions] object MinHashCore {
   * (array of k × array_min(transform(shingles, md5("j:" ++ s)))) and to the
   * DuckDB oracle — but that expression forest made Catalyst
   * analysis/optimization the bottleneck (~12 s of driver time per
-  * execution at ANY data size).
-  */
+  * execution at ANY data size). Codegen emits a direct static call — no
+  * CodegenFallback row materialization. */
 case class MinHashSig(child: Expression, k: Int, n: Int = 3)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
-    val sig = MinHashCore.signature(MinHashCore.shingleSet(text, n), k)
-    new GenericArrayData(sig.map(s => UTF8String.fromString(s): Any))
+  override def eval(input: InternalRow): Any =
+    MinHashCore.sigArray(child.eval(input).asInstanceOf[UTF8String], k, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code + code"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.MinHashCore.sigArray(
+          ${c.isNull} ? null : ${c.value}, $k, $n);
+      """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -108,30 +151,22 @@ case class MinHashSig(child: Expression, k: Int, n: Int = 3)
   * Catalyst a bands×rows md5/concat expression forest (which cost ~20 s of
   * one-time plan/codegen per query at ANY data size). */
 case class MinHashBands(child: Expression, k: Int, bands: Int, n: Int = 3)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
   require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-  private val rowsPerBand = k / bands
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
-    val sig = MinHashCore.signature(MinHashCore.shingleSet(text, n), k)
-    val md = MinHashCore.mdLocal.get()
-    val keys = new Array[Any](bands)
-    var b = 0
-    while (b < bands) {
-      val sb = new java.lang.StringBuilder(sig(b * rowsPerBand))
-      var r = 1
-      while (r < rowsPerBand) {
-        sb.append('|').append(sig(b * rowsPerBand + r)); r += 1
-      }
-      keys(b) = UTF8String.fromString(MinHashCore.hex(md, sb.toString))
-      b += 1
-    }
-    new GenericArrayData(keys)
+  override def eval(input: InternalRow): Any =
+    MinHashCore.bandsArray(child.eval(input).asInstanceOf[UTF8String], k, bands, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code + code"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.MinHashCore.bandsArray(
+          ${c.isNull} ? null : ${c.value}, $k, $bands, $n);
+      """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBands =
@@ -144,20 +179,21 @@ case class MinHashBands(child: Expression, k: Int, bands: Int, n: Int = 3)
   * over transform/sequence/concat_ws) and DuckDB's list_distinct(
   * list_transform(...)), but a single pass with no expression forest. */
 case class Shingles(child: Expression, n: Int = 3)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    val text = if (v == null) "" else v.asInstanceOf[UTF8String].toString
-    val set = MinHashCore.shingleSet(text, n)
-    val out = new Array[Any](set.size)
-    val it = set.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
-    new GenericArrayData(out)
+  override def eval(input: InternalRow): Any =
+    MinHashCore.shinglesArray(child.eval(input).asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code + code"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.MinHashCore.shinglesArray(
+          ${c.isNull} ? null : ${c.value}, $n);
+      """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =

@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -16,11 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * (spec-enforced) — the fusion exists because the pipeline is
   * DRAM-bandwidth-bound at 32 threads: three separate expressions decode
   * every text three times and allocate three output rows; this does one of
-  * each. */
-case class QfScore(child: Expression)
-  extends UnaryExpression with CodegenFallback {
-
-  import LangPplScore.{Oov, Stop, Vocab}
+  * each.
+  *
+  * Codegen: emits a direct static call to [[QfScore.evalUtf8]] on the
+  * child's UTF8String — the expression stays inside WholeStageCodegen with
+  * no CodegenFallback row materialization and no per-row boxing. */
+case class QfScore(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("en_hits", IntegerType, nullable = false),
@@ -36,16 +38,35 @@ case class QfScore(child: Expression)
 
   override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
+  override def eval(input: InternalRow): Any =
+    QfScore.evalUtf8(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code + code"""
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+        graft.functions.QfScore.evalUtf8(${c.isNull} ? null : ${c.value});
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QfScore =
+    copy(child = newChild)
+  override def prettyName: String = "qf_score"
+}
+
+object QfScore {
+  import LangPplScore.{Oov, Stop, Vocab}
+
+  /** Static per-row kernel (called from generated code). */
+  def evalUtf8(v: UTF8String): InternalRow = {
     val out = new Array[Any](10)
     if (v == null) {
       out(0) = 0; out(1) = Oov; out(2) = 0; out(3) = 0; out(4) = 0
       out(5) = false; out(6) = false; out(7) = false; out(8) = false
       out(9) = null
-      return InternalRow.fromSeq(out.toIndexedSeq)
+      return new GenericInternalRow(out)
     }
-    val text = v.asInstanceOf[UTF8String].toString
+    val text = v.toString
     val len = text.length
 
     // one loop, two tokenizations:
@@ -112,15 +133,9 @@ case class QfScore(child: Expression)
     out(4) = nSymbols
     out(5) = email; out(6) = phone; out(7) = ssn; out(8) = tox
     out(9) = if (s eq text) v else UTF8String.fromString(s)
-    InternalRow.fromSeq(out.toIndexedSeq)
+    new GenericInternalRow(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): QfScore =
-    copy(child = newChild)
-  override def prettyName: String = "qf_score"
-}
-
-object QfScore {
   def qf_score(c: Column): Column = {
     import org.apache.spark.sql.graftshim.Shims
     Shims.toColumn(QfScore(Shims.toExpression(c)))

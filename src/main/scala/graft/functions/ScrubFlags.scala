@@ -4,8 +4,9 @@ import java.util.regex.{Matcher, Pattern}
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,11 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * the chained-column formulation allocates 4 intermediate copies of every
   * row's text, which makes the pipeline DRAM-bandwidth-bound and caps
   * multi-core scaling (measured 0.5 efficiency at 8→32 threads).
-  */
-case class ScrubFlags(child: Expression)
-  extends UnaryExpression with CodegenFallback {
-
-  import ScrubFlags._
+  * Codegen emits a direct static call — no CodegenFallback row
+  * materialization. */
+case class ScrubFlags(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("email_found", BooleanType, nullable = false),
@@ -37,33 +36,15 @@ case class ScrubFlags(child: Expression)
 
   override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    val out = new Array[Any](5)
-    if (v == null) {
-      out(0) = false; out(1) = false; out(2) = false; out(3) = false
-      out(4) = null
-      return InternalRow.fromSeq(out.toIndexedSeq)
-    }
-    val text = v.asInstanceOf[UTF8String].toString
-    val ms = matchers.get()
-    val email = ms(0).reset(text).find()
-    val ssn = ms(1).reset(text).find()
-    val phone = ms(2).reset(text).find()
-    val tox = ms(3).reset(text).find()
-    var s = text
-    // replacement order mirrors the chained regexp_replace formulation:
-    // email → ssn → phone → tox. Once the text has MUTATED, later patterns
-    // must re-run unconditionally — an earlier substitution can create a
-    // word boundary that enables a later match (e.g. "[EMAIL]555-…" where
-    // "…com555-…" had none), exactly as the chained form would scrub.
-    if (email) s = ms(0).reset(s).replaceAll("[EMAIL]")
-    if (ssn || (s ne text)) s = ms(1).reset(s).replaceAll("[SSN]")
-    if (phone || (s ne text)) s = ms(2).reset(s).replaceAll("[PHONE]")
-    if (tox || (s ne text)) s = ms(3).reset(s).replaceAll("[REDACTED]")
-    out(0) = email; out(1) = phone; out(2) = ssn; out(3) = tox
-    out(4) = if (s eq text) v else UTF8String.fromString(s)
-    InternalRow.fromSeq(out.toIndexedSeq)
+  override def eval(input: InternalRow): Any =
+    ScrubFlags.evalUtf8(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code + code"""
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+        graft.functions.ScrubFlags.evalUtf8(${c.isNull} ? null : ${c.value});
+      """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ScrubFlags =
@@ -82,6 +63,35 @@ object ScrubFlags {
   }
   /** Shared with the fused QfScore expression. */
   private[functions] def sharedMatchers: ThreadLocal[Array[Matcher]] = matchers
+
+  /** Static per-row kernel (called from generated code). */
+  def evalUtf8(v: UTF8String): InternalRow = {
+    val out = new Array[Any](5)
+    if (v == null) {
+      out(0) = false; out(1) = false; out(2) = false; out(3) = false
+      out(4) = null
+      return new GenericInternalRow(out)
+    }
+    val text = v.toString
+    val ms = matchers.get()
+    val email = ms(0).reset(text).find()
+    val ssn = ms(1).reset(text).find()
+    val phone = ms(2).reset(text).find()
+    val tox = ms(3).reset(text).find()
+    var s = text
+    // replacement order mirrors the chained regexp_replace formulation:
+    // email → ssn → phone → tox. Once the text has MUTATED, later patterns
+    // must re-run unconditionally — an earlier substitution can create a
+    // word boundary that enables a later match (e.g. "[EMAIL]555-…" where
+    // "…com555-…" had none), exactly as the chained form would scrub.
+    if (email) s = ms(0).reset(s).replaceAll("[EMAIL]")
+    if (ssn || (s ne text)) s = ms(1).reset(s).replaceAll("[SSN]")
+    if (phone || (s ne text)) s = ms(2).reset(s).replaceAll("[PHONE]")
+    if (tox || (s ne text)) s = ms(3).reset(s).replaceAll("[REDACTED]")
+    out(0) = email; out(1) = phone; out(2) = ssn; out(3) = tox
+    out(4) = if (s eq text) v else UTF8String.fromString(s)
+    new GenericInternalRow(out)
+  }
 
   def scrub_flags(c: Column): Column = {
     import org.apache.spark.sql.graftshim.Shims

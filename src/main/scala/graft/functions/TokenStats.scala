@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -13,9 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
   * but in one scan without materializing token arrays or a scrubbed copy.
   * Tokens are maximal runs of non-space characters (the corpora contain no
-  * other whitespace; trim/split-on-' +' semantics). */
-case class TokenStats(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  * other whitespace; trim/split-on-' +' semantics). Codegen emits a direct
+  * static call — no CodegenFallback row materialization. */
+case class TokenStats(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", IntegerType, nullable = false),
@@ -24,14 +25,31 @@ case class TokenStats(child: Expression)
 
   override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
+  override def eval(input: InternalRow): Any =
+    TokenStats.evalUtf8(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code + code"""
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+        graft.functions.TokenStats.evalUtf8(${c.isNull} ? null : ${c.value});
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+  override def prettyName: String = "token_stats"
+}
+
+object TokenStats {
+  /** Static per-row kernel (called from generated code). */
+  def evalUtf8(v: UTF8String): InternalRow = {
     val out = new Array[Any](3)
     if (v == null) {
       out(0) = 0; out(1) = 0; out(2) = 0
-      return InternalRow.fromSeq(out.toIndexedSeq)
+      return new GenericInternalRow(out)
     }
-    val text = v.asInstanceOf[UTF8String].toString
+    val text = v.toString
     val len = text.length
     var nTokens = 0
     var nSymbols = 0
@@ -57,15 +75,9 @@ case class TokenStats(child: Expression)
     out(0) = nTokens
     out(1) = seen.size
     out(2) = nSymbols
-    InternalRow.fromSeq(out.toIndexedSeq)
+    new GenericInternalRow(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): TokenStats =
-    copy(child = newChild)
-  override def prettyName: String = "token_stats"
-}
-
-object TokenStats {
   def token_stats(c: Column): Column = {
     import org.apache.spark.sql.graftshim.Shims
     Shims.toColumn(TokenStats(Shims.toExpression(c)))

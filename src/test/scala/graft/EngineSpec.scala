@@ -508,6 +508,112 @@ class EngineSpec extends AnyFunSuite {
     assert(!r2.success && r2.exception.isDefined)
     EngineSpec.failuresLeft.set(0)
   }
+
+  test("fused pass is sums-only: codegen'd HashAggregate, no ObjectHashAggregate") {
+    val runner = new SuiteRunner()
+    val mapExps: Seq[(MapExpectation, Int)] = Seq(
+      (ExpectColumnValuesToBeBetween("x", Some(0), Some(99)), 0),
+      (ExpectColumnValuesToNotBeNull("alpha"), 1),
+      (ExpectColumnValuesToMatchRegex("alpha", "^[a-z]$"), 2))
+    val aggExps: Seq[(AggExpectation, Int)] = Seq(
+      (ExpectColumnMeanToBeBetween("x", Some(0.0), Some(99.0)), 3))
+    val (fused, _) = runner.fusedFrame(df, mapExps, aggExps,
+      _.unexpectedCondition)
+    fused.collect() // finalize THIS queryExecution's adaptive plan
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"fused agg must be sums-only (samples are deferred): $plan")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("*("),
+      s"fused agg must sit inside WholeStageCodegen: $plan")
+  }
+
+  test("cross-suite metric cache: shared fused domain is ONE Spark job") {
+    val plans = collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val s1 = Suite("a", Seq(
+        ExpectColumnValuesToBeBetween("x", Some(0), Some(99)),
+        ExpectColumnMeanToBeBetween("x", Some(0.0), Some(99.0))))
+      val s2 = Suite("b", Seq(
+        ExpectColumnValuesToNotBeNull("alpha"),
+        // same avg(x) aggregate as s1's, different bounds: the VALUE is
+        // shared, the verdicts differ
+        ExpectColumnMeanToBeBetween("x", Some(6.0), Some(9.0))))
+      val r = SuiteCheckpoint.run("cc", Seq(df -> s1, df -> s2))
+      assert(r.results.map(_.suiteName) == Seq("a", "b"))
+      assert(r.results(0).success)
+      assert(r.results(1).results(0).success && !r.results(1).results(1).success)
+      assert(r.results(0).results(1).result("observed_value") ==
+        r.results(1).results(1).result("observed_value"))
+      Thread.sleep(1500) // QueryExecutionListener delivery is async
+      val snap = plans.synchronized(plans.toList)
+      // both suites' map+agg expectations over the same (unconditioned)
+      // domain of the same batch must plan as ONE fused aggregate job
+      val fused = snap.filter(_.contains("__uc0"))
+      assert(fused.size == 1, s"expected one fused job, saw ${fused.size}")
+      assert(snap.size == 1, s"expected one execution total, saw ${snap.size}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("distinct-set compare is distributed; categorical KL caps loudly") {
+    // a 1M-distinct column: success comes from anti-join counts and the
+    // observed sample is a capped ordered top-k — no uncapped driver collect
+    val big = spark.range(1000000L).toDF("v")
+    val sr = Graft.validate(big, Suite("t", Seq(
+      ExpectColumnDistinctValuesToBeInSet("v", Seq(1L, 2L)),
+      ExpectColumnDistinctValuesToContainSet("v", Seq(1L, 999999L, -5L)),
+      ExpectColumnDistinctValuesToContainSet("v", Seq(0L, 999999L)),
+      ExpectColumnDistinctValuesToEqualSet("v", Seq(1L)))))
+    assert(!sr.results(0).success) // extras beyond {1,2}
+    assert(!sr.results(1).success) // -5 never observed
+    assert(sr.results(2).success)  // 0 and 999999 both observed
+    assert(!sr.results(3).success)
+    val obs = sr.results(0).result("observed_value").asInstanceOf[Seq[_]]
+    assert(obs.size <= ResultFormat.MaxResultRecords)
+    // categorical KL must fail ITS expectation loudly above the cap
+    // instead of collecting 1M distinct values to the driver
+    val kl = Graft.validate(big, Suite("t", Seq(
+      ExpectColumnKlDivergenceToBeLessThan("v", Seq(1L), Seq(1.0), 0.5),
+      ExpectColumnValuesToNotBeNull("v"))))
+    assert(!kl.results(0).success && kl.results(0).exception.exists(
+      _.contains("distinct")))
+    assert(kl.results(1).success)
+  }
+
+  test("unexpected-rows query: true count + capped sample in ONE job") {
+    val plans = collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.synchronized { plans += fn }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    val big = (1 to 500).toDF("x")
+    big.count() // materialize outside the measured window
+    spark.listenerManager.register(listener)
+    try {
+      val r = Graft.validate(big, Suite("t", Seq(
+        UnexpectedRowsExpectation("SELECT * FROM {batch} WHERE x > 0"))))
+        .results.head
+      assert(!r.success)
+      assert(r.result("observed_value") == 500L) // true count, beyond the cap
+      assert(r.result("unexpected_rows").asInstanceOf[Seq[_]].size == 20)
+      Thread.sleep(1500)
+      // "command" entries are the temp-view create/drop, not data jobs
+      val snap = plans.synchronized(plans.toList).filterNot(_ == "command")
+      assert(snap.size == 1,
+        s"count + sample must fuse into one job, saw ${snap.size}: $snap")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
 
 object EngineSpec {
