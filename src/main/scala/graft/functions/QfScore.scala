@@ -78,11 +78,15 @@ object QfScore {
     var nTokens = 0
     var nSymbols = 0
     var tokenStart = -1
+    var hasAt = false
+    var hasDigit = false
     val seen = new java.util.HashSet[String]()
     val sb = new java.lang.StringBuilder(16)
     var i = 0
     while (i <= len) {
       val c = if (i < len) text.charAt(i) else ' '
+      if (c == '@') hasAt = true
+      else if (c >= '0' && c <= '9') hasDigit = true
       // langid word state
       val lc =
         if (c >= 'a' && c <= 'z') c
@@ -113,12 +117,16 @@ object QfScore {
       i += 1
     }
 
-    // scrub (same ThreadLocal matchers + replacement order as ScrubFlags)
+    // scrub (same ThreadLocal matchers + replacement order as ScrubFlags).
+    // Each matcher runs only when its NECESSARY character class was seen in
+    // the main loop — exact gates derived from the fixed patterns (EmailRe
+    // requires '@', SsnRe/PhoneRe require a digit, ToxRe the literal
+    // "damn"), so the no-PII majority of rows pays zero regex passes.
     val ms = ScrubFlags.sharedMatchers.get()
-    val email = ms(0).reset(text).find()
-    val ssn = ms(1).reset(text).find()
-    val phone = ms(2).reset(text).find()
-    val tox = ms(3).reset(text).find()
+    val email = hasAt && ms(0).reset(text).find()
+    val ssn = hasDigit && ms(1).reset(text).find()
+    val phone = hasDigit && ms(2).reset(text).find()
+    val tox = text.contains("damn") && ms(3).reset(text).find()
     var s = text
     // see ScrubFlags: once mutated, later patterns re-run unconditionally
     if (email) s = ms(0).reset(s).replaceAll("[EMAIL]")

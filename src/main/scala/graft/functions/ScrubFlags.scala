@@ -73,11 +73,25 @@ object ScrubFlags {
       return new GenericInternalRow(out)
     }
     val text = v.toString
+    // one cheap char scan gates the four regex passes: each matcher runs
+    // only when its NECESSARY character class occurs (exact gates derived
+    // from the fixed patterns — EmailRe requires '@', SsnRe/PhoneRe a
+    // digit, ToxRe the literal "damn")
+    var hasAt = false
+    var hasDigit = false
+    var gi = 0
+    val glen = text.length
+    while (gi < glen && !(hasAt && hasDigit)) {
+      val c = text.charAt(gi)
+      if (c == '@') hasAt = true
+      else if (c >= '0' && c <= '9') hasDigit = true
+      gi += 1
+    }
     val ms = matchers.get()
-    val email = ms(0).reset(text).find()
-    val ssn = ms(1).reset(text).find()
-    val phone = ms(2).reset(text).find()
-    val tox = ms(3).reset(text).find()
+    val email = hasAt && ms(0).reset(text).find()
+    val ssn = hasDigit && ms(1).reset(text).find()
+    val phone = hasDigit && ms(2).reset(text).find()
+    val tox = text.contains("damn") && ms(3).reset(text).find()
     var s = text
     // replacement order mirrors the chained regexp_replace formulation:
     // email → ssn → phone → tox. Once the text has MUTATED, later patterns
