@@ -12,9 +12,12 @@ object QfProfile {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val n = sys.env.getOrElse("SPARK_GRAFT_N", "3").toInt
+    val rep = sys.env.getOrElse("SPARK_GRAFT_REP",
+      Bench.Replication.toString).toInt
     val spark = Bench.session(cpus)
+    spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * 3).toString)
     spark.sparkContext.setLogLevel("ERROR")
-    val transcripts = Bench.replicatedTranscripts(spark, sfDir, Bench.Replication)
+    val transcripts = Bench.replicatedTranscripts(spark, sfDir, rep)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val turns = transcripts.count()
     def t(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {

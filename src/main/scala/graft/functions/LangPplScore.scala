@@ -50,18 +50,16 @@ object LangPplScore {
   import graft.transcripts.QualityFilter
 
   val Oov: Double = QualityFilter.OovLogProb
-  private[functions] val Vocab: java.util.HashMap[String, java.lang.Double] = {
-    val m = new java.util.HashMap[String, java.lang.Double]()
-    QualityFilter.unigramLogProb.foreach { case (k, v) => m.put(k, v) }
-    m
-  }
-  private[functions] val Stop: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    QualityFilter.enStopwords.foreach(s.add)
-    s
-  }
+  /** Model as a zero-allocation char-range table: (log-prob, is-stopword)
+    * per vocab word; every stopword is a vocab entry by construction. */
+  private[functions] val Words: TextKernels.WordTable =
+    new TextKernels.WordTable(QualityFilter.unigramLogProb.map { case (k, v) =>
+      k -> (v, QualityFilter.enStopwords.contains(k))
+    })
 
-  /** Static per-row kernel (called from generated code). */
+  /** Static per-row kernel (called from generated code). Words are maximal
+    * ASCII letter runs, matched lowercased against the vocab table by char
+    * range — no per-word String allocation. */
   def evalUtf8(v: UTF8String): InternalRow = {
     val text = if (v == null) "" else v.toString
     var hits = 0
@@ -69,21 +67,19 @@ object LangPplScore {
     var n = 0
     val len = text.length
     var i = 0
-    val sb = new java.lang.StringBuilder(16)
+    var wordStart = -1
     while (i <= len) {
       val c = if (i < len) text.charAt(i) else ' '
-      val lc =
-        if (c >= 'a' && c <= 'z') c
-        else if (c >= 'A' && c <= 'Z') (c + 32).toChar
-        else 0.toChar
-      if (lc != 0) sb.append(lc)
-      else if (sb.length > 0) {
-        val w = sb.toString
-        sb.setLength(0)
+      val isLetter = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      if (isLetter) { if (wordStart < 0) wordStart = i }
+      else if (wordStart >= 0) {
         n += 1
-        if (Stop.contains(w)) hits += 1
-        val p = Vocab.get(w)
-        lp += (if (p == null) Oov else p.doubleValue())
+        val idx = Words.find(text, wordStart, i)
+        if (idx >= 0) {
+          if (Words.isStop(idx)) hits += 1
+          lp += Words.logProb(idx)
+        } else lp += Oov
+        wordStart = -1
       }
       i += 1
     }

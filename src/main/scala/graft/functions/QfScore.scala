@@ -55,7 +55,7 @@ case class QfScore(child: Expression) extends UnaryExpression {
 }
 
 object QfScore {
-  import LangPplScore.{Oov, Stop, Vocab}
+  import LangPplScore.{Oov, Words}
 
   /** Static per-row kernel (called from generated code). */
   def evalUtf8(v: UTF8String): InternalRow = {
@@ -69,7 +69,7 @@ object QfScore {
     val text = v.toString
     val len = text.length
 
-    // one loop, two tokenizations:
+    // one loop, two tokenizations (both zero-allocation char-range kernels):
     //  - letter runs (lowercased) for langid/log-prob, as in LangPplScore
     //  - space-delimited tokens + symbol chars, as in TokenStats
     var hits = 0
@@ -78,40 +78,38 @@ object QfScore {
     var nTokens = 0
     var nSymbols = 0
     var tokenStart = -1
+    var wordStart = -1
     var hasAt = false
     var hasDigit = false
-    val seen = new java.util.HashSet[String]()
-    val sb = new java.lang.StringBuilder(16)
+    val seen = TokenStats.seenLocal.get()
+    seen.reset()
     var i = 0
     while (i <= len) {
       val c = if (i < len) text.charAt(i) else ' '
       if (c == '@') hasAt = true
       else if (c >= '0' && c <= '9') hasDigit = true
       // langid word state
-      val lc =
-        if (c >= 'a' && c <= 'z') c
-        else if (c >= 'A' && c <= 'Z') (c + 32).toChar
-        else 0.toChar
-      if (lc != 0) sb.append(lc)
-      else if (sb.length > 0) {
-        val w = sb.toString
-        sb.setLength(0)
+      val isLetter = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      if (isLetter) { if (wordStart < 0) wordStart = i }
+      else if (wordStart >= 0) {
         nWords += 1
-        if (Stop.contains(w)) hits += 1
-        val p = Vocab.get(w)
-        lp += (if (p == null) Oov else p.doubleValue())
+        val idx = Words.find(text, wordStart, i)
+        if (idx >= 0) {
+          if (Words.isStop(idx)) hits += 1
+          lp += Words.logProb(idx)
+        } else lp += Oov
+        wordStart = -1
       }
       // token-stats state
       if (c != ' ' && i < len) {
         if (tokenStart < 0) tokenStart = i
-        val alnum = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-          (c >= '0' && c <= '9')
+        val alnum = isLetter || (c >= '0' && c <= '9')
         // codepoint-counted, like Spark length(): a supplementary-plane
         // char is one symbol, not two UTF-16 code units
         if (!alnum && !Character.isLowSurrogate(c)) nSymbols += 1
       } else if (tokenStart >= 0) {
         nTokens += 1
-        seen.add(text.substring(tokenStart, i))
+        seen.add(text, tokenStart, i)
         tokenStart = -1
       }
       i += 1

@@ -54,7 +54,8 @@ object TokenStats {
     var nTokens = 0
     var nSymbols = 0
     var tokenStart = -1
-    val seen = new java.util.HashSet[String]()
+    val seen = seenLocal.get()
+    seen.reset()
     var i = 0
     while (i <= len) {
       val c = if (i < len) text.charAt(i) else ' '
@@ -67,7 +68,7 @@ object TokenStats {
         if (!alnum && !Character.isLowSurrogate(c)) nSymbols += 1
       } else if (tokenStart >= 0) {
         nTokens += 1
-        seen.add(text.substring(tokenStart, i))
+        seen.add(text, tokenStart, i)
         tokenStart = -1
       }
       i += 1
@@ -76,6 +77,11 @@ object TokenStats {
     out(1) = seen.size
     out(2) = nSymbols
     new GenericInternalRow(out)
+  }
+
+  /** Reusable exact distinct-token scratch (zero steady-state allocation). */
+  private[functions] val seenLocal = new ThreadLocal[TextKernels.TokenSet] {
+    override def initialValue(): TextKernels.TokenSet = new TextKernels.TokenSet
   }
 
   def token_stats(c: Column): Column = {
