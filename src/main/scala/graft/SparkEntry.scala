@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Coverage2Queries, Coverage3Queries, CoverageQueries, DedupQueries, JsonQueries, MultimodalQueries, TextQueries}
+import graft.queries.{CoreQueries, Coverage2Queries, Coverage3Queries, CoverageQueries, DedupQueries, JsonQueries, MultimodalQueries, StreamingQueries, TextQueries}
 import graft.transcripts.{QualityFilter, Transcripts}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -15,12 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
       MultimodalQueries.queries ++ CoverageQueries.queries ++ JsonQueries.queries ++
-      Coverage2Queries.queries ++ Coverage3Queries.queries
+      Coverage2Queries.queries ++ Coverage3Queries.queries ++
+      StreamingQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles ++
       MultimodalQueries.oracles ++ CoverageQueries.oracles ++ JsonQueries.oracles ++
-      Coverage2Queries.oracles ++ Coverage3Queries.oracles
+      Coverage2Queries.oracles ++ Coverage3Queries.oracles ++
+      StreamingQueries.oracles
 }

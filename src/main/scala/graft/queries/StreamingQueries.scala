@@ -1,0 +1,91 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.{ExpectColumnValuesToBeInSet, ExpectColumnValuesToNotBeNull, MapExpectation}
+import graft.streaming.StreamingValidate
+import graft.transcripts.{QualityFilter, Transcripts}
+
+/** Oracle-checked STREAMING queries: the synthesized transcript table is
+  * staged to parquet, replayed as a bounded file stream
+  * (Trigger.AvailableNow, several micro-batches via maxFilesPerTrigger),
+  * run through the streaming operators to completion, and the final sink
+  * contents are compared against DuckDB computing the same answer in
+  * batch — closing the "streaming path has no oracle" gap. Results are
+  * arrival-order-free by construction (windowed sums; the distinct
+  * surviving digest set), so the comparison is deterministic. */
+object StreamingQueries {
+
+  /** Stage the transcripts for `dir` to a temp parquet dir (4 files → 4+
+    * micro-batches with maxFilesPerTrigger=1). */
+  private def stage(s: SparkSession, dir: String): String = {
+    val out = Files.createTempDirectory("graft_stream_q").toString
+    Transcripts.fromEvents(s, dir).repartition(4)
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  private def replay(s: SparkSession, staged: String): DataFrame = {
+    val schema = s.read.parquet(staged).schema
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(staged)
+  }
+
+  private def runToMemory(df: DataFrame, mode: String): String = {
+    val name = "q_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    name
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_stream_validate" -> ((s, dir) => {
+      // windowed streaming suite metrics (watermark + 1-day tumbling
+      // windows aligned to epoch = date_trunc('day')) run to completion
+      val staged = stage(s, dir)
+      val exps: Seq[(String, MapExpectation)] = Seq(
+        "text_not_null" -> ExpectColumnValuesToNotBeNull("text"),
+        "role_in_set" -> ExpectColumnValuesToBeInSet("role",
+          QualityFilter.AllowedRoles))
+      val view = runToMemory(StreamingValidate.validateStream(
+        replay(s, staged), exps, "ts", "1 hour", "1 day"), "complete")
+      s.sql(s"""SELECT date_format(window.start, 'yyyy-MM-dd') AS day,
+        element_count, text_not_null_unexpected AS text_null_n,
+        role_in_set_unexpected AS bad_role_n
+        FROM $view ORDER BY day""")
+    }),
+    "q61_stream_dedup" -> ((s, dir) => {
+      // streaming exact dedup run to completion; the SURVIVING DIGEST SET
+      // is arrival-order-free (which representative row wins is not),
+      // so it is the deterministic oracle surface
+      val staged = stage(s, dir)
+      val view = runToMemory(StreamingValidate.exactDedupStream(
+        replay(s, staged), "text", "ts", "3650 days"), "append")
+      s.table(view)
+        .select(md5(graft.functions.TextFunctions.normText(col("text")))
+          .as("text_hash"))
+        .distinct().orderBy("text_hash")
+    }))
+
+  // NOTE: stripMargin must run on the literal BEFORE the transcript CTE is
+  // prepended — transcriptSql itself contains '||' at line starts, which
+  // stripMargin would mangle into single '|'s
+  val oracles: Map[String, String] = Map(
+    "q60_stream_validate" ->
+      (Transcripts.oracleCtePrefix + "\n" +
+        """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          |  count(*) AS element_count,
+          |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text_null_n,
+          |  CAST(sum(CASE WHEN role NOT IN ('system','user','assistant','tool')
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS bad_role_n
+          |FROM transcripts GROUP BY 1 ORDER BY day""".stripMargin),
+    "q61_stream_dedup" ->
+      (Transcripts.oracleCtePrefix + "\n" +
+        s"""SELECT DISTINCT md5(${graft.functions.TextFunctions.normTextSql("text")})
+           |  AS text_hash
+           |FROM transcripts ORDER BY text_hash""".stripMargin))
+}
