@@ -45,10 +45,13 @@ sealed trait MapExpectation extends Expectation {
   def unexpectedCondition: Column
   /** Rows excluded from the denominator (missing / ignore_row_if). */
   def missingCondition: Column
-  /** Value collected into partial_unexpected_list for one unexpected row. */
+  /** Value collected into partial_unexpected_list for one unexpected row.
+    * ignoreNullFields=false: a null member of a pair/multicolumn domain
+    * must appear in the sample (the reference's list carries None). */
   def unexpectedValue: Column =
     if (domainColumns.size == 1) col(domainColumns.head).cast(StringType)
-    else to_json(struct(domainColumns.map(col): _*))
+    else to_json(struct(domainColumns.map(col): _*),
+      Map("ignoreNullFields" -> "false"))
   /** True when the unexpected condition contains a window function. Such
     * expectations run in their own job (as the reference does,
     * map_condition_auxilliary_methods.py:600-625) so that one window can't

@@ -380,7 +380,11 @@ final class SuiteRunner(
     val projCols = mutable.ArrayBuffer.empty[Column]
     toSample.zipWithIndex.foreach { case (e, j) =>
       projCols += unexpectedCond(e).as(s"__u$j")
-      if (collectValues) projCols += e.unexpectedValue.as(s"__v$j")
+      // coalesce: a NULL unexpected VALUE (e.g. to_not_be_null's unexpected
+      // rows) must still occupy its list slot, as the reference's
+      // partial_unexpected_list carries None entries
+      if (collectValues)
+        projCols += coalesce(e.unexpectedValue, lit("null")).as(s"__v$j")
       if (collectIndexes)
         projCols += to_json(struct(indexColumns.map(col): _*)).as(s"__ix$j")
     }

@@ -75,13 +75,34 @@ object SuiteJson {
     def seq(name: String): Seq[Any] =
       node(name).map(value(_).asInstanceOf[Seq[Any]]).getOrElse(Nil)
     def strSeq(name: String): Seq[String] = seq(name).map(String.valueOf)
+    /** Strict numeric read: Jackson's asDouble()/asInt() silently coerce
+      * non-numeric text to 0 — a "mostly": "One" must load as an error EVR
+      * ("is not a valid float", like the reference's pydantic validation),
+      * not as mostly=0 vacuous success. */
+    private def num(name: String): Option[Double] = scalar(name).map { n =>
+      if (n.isNumber) n.doubleValue()
+      else if (n.isTextual)
+        try n.asText().toDouble
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"'$name' value '${n.asText()}' is not a valid float")
+        }
+      else throw new IllegalArgumentException(s"'$name' is not a valid float")
+    }
     def dbl(name: String, default: Double): Double =
-      scalar(name).map(_.asDouble()).getOrElse(default)
-    def dblOpt(name: String): Option[Double] = scalar(name).map(_.asDouble())
-    def intOpt(name: String): Option[Int] = scalar(name).map(_.asInt())
+      num(name).getOrElse(default)
+    def dblOpt(name: String): Option[Double] = num(name)
+    def intOpt(name: String): Option[Int] = num(name).map(_.toInt)
     def bool(name: String, default: Boolean): Boolean =
       scalar(name).map(_.asBoolean()).getOrElse(default)
-    def mostly: Double = dbl("mostly", 1.0)
+    def mostly: Double = {
+      val m = dbl("mostly", 1.0)
+      // expectation.py validates mostly ∈ [0,1]; out-of-range must load as
+      // an InvalidExpectation (error EVR), not evaluate vacuously
+      if (m < 0.0 || m > 1.0) throw new IllegalArgumentException(
+        s"mostly must be between 0 and 1 (got $m)")
+      m
+    }
     /** row_condition honoring condition_parser: "great_expectations*"
       * (the col("x") > 5 mini-DSL, row_conditions.py:36-66) is translated
       * to the equivalent Spark SQL; "spark" (and absent) pass through. */
