@@ -54,23 +54,63 @@ private[functions] object MinHashCore {
     shingles
   }
 
-  /** k lexicographic minima of salted md5 digests over the shingle set. */
+  /** k lexicographic minima of salted md5 digests over the shingle set.
+    *
+    * Byte-level: each shingle's UTF-8 bytes are encoded ONCE and digested
+    * under k salt prefixes via two update() calls; minima compare as
+    * unsigned digest bytes, which orders exactly like the hex string
+    * (hex digits '0'-'9','a'-'f' are ASCII-monotone in nibble value), and
+    * only the k winners are hex-encoded. Cuts the k×|shingles| String
+    * concat + getBytes allocations of the naive form — md5 of
+    * ("j:" + shingle) bit-for-bit either way. */
   def signature(shingles: java.util.LinkedHashSet[String], k: Int): Array[String] = {
     val md = mdLocal.get()
+    val n = shingles.size
+    val bytes = new Array[Array[Byte]](n)
+    val it0 = shingles.iterator()
+    var s = 0
+    while (it0.hasNext) { bytes(s) = it0.next().getBytes("UTF-8"); s += 1 }
     val sig = new Array[String](k)
     var j = 0
     while (j < k) {
-      var min: String = null
-      val it = shingles.iterator()
-      val salt = j + ":"
-      while (it.hasNext) {
-        val h = hex(md, salt + it.next())
-        if (min == null || h.compareTo(min) < 0) min = h
+      val salt = (j + ":").getBytes("UTF-8")
+      var min: Array[Byte] = null
+      var i = 0
+      while (i < n) {
+        md.update(salt)
+        md.update(bytes(i))
+        val d = md.digest()
+        if (min == null || unsignedLt(d, min)) min = d
+        i += 1
       }
-      sig(j) = min
+      sig(j) = hexOf(min)
       j += 1
     }
     sig
+  }
+
+  @inline private def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def hexOf(d: Array[Byte]): String = {
+    if (d == null) return null
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val v = d(i) & 0xff
+      out(2 * i) = Character.forDigit(v >>> 4, 16)
+      out(2 * i + 1) = Character.forDigit(v & 0xf, 16)
+      i += 1
+    }
+    new String(out)
   }
 
   // --- static per-row kernels (called from generated code) -------------------
