@@ -812,6 +812,17 @@ object KlMath {
     * limit, just without the guard). */
   val MaxCategories = 10000
 
+  /** Canonical category key: numerically-equal values must collide (a
+    * Double 1.0 observed in the data matches a partition's integer 1, as
+    * the reference's pandas index alignment does). */
+  def keyOf(v: Any): String = v match {
+    case n: Number =>
+      val d = n.doubleValue()
+      if (d.isWhole && math.abs(d) < 9.007199254740992e15) d.toLong.toString
+      else d.toString
+    case other => String.valueOf(other)
+  }
+
   def entropy(pk: Seq[Double], qk: Seq[Double]): Double = {
     val ps = pk.sum
     val qs = qk.sum
@@ -877,17 +888,9 @@ final case class ExpectColumnKlDivergenceToBeLessThan(column: String,
     "tail_weight_holdout must be between zero and one")
   val expectationType = "expect_column_kl_divergence_to_be_less_than"
   def kwargs = Map("column" -> column, "threshold" -> threshold)
-  /** Canonical match key: numerically-equal values must collide (a Double
-    * 1.0 observed in the data matches the partition's integer 1, as the
-    * reference's pandas index alignment does) — String.valueOf would keep
+  /** Canonical match key — see KlMath.keyOf: String.valueOf would keep
     * "1.0" and "1" apart and drive the divergence to a spurious +∞. */
-  private def keyOf(v: Any): String = v match {
-    case n: Number =>
-      val d = n.doubleValue()
-      if (d.isWhole && math.abs(d) < 9.007199254740992e15) d.toLong.toString
-      else d.toString
-    case other => String.valueOf(other)
-  }
+  private def keyOf(v: Any): String = KlMath.keyOf(v)
   def run(df: DataFrame): Evr = {
     // categorical KL is driver-side arithmetic over the value histogram by
     // nature (as in the reference) — but a high-cardinality column must
@@ -1107,6 +1110,352 @@ final case class ExpectColumnKlDivergenceAutoToBeLessThan(column: String,
       row.getAs[Long]("below"), row.getAs[Long]("above"), nonnull, weights,
       tailWeightHoldout, internalWeightHoldout)
     KlMath.evr(expectationType, kwargs, kl, threshold)
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Distributional hypothesis tests (chi-square, KS, Cramér's φ)
+//
+// The reference ships these pandas-only (they sit on the not-implemented
+// list for every other engine, self_check/util.py:1284-1297) — the Spark
+// paths here are therefore new engine capability, matched against the
+// reference's legacy semantics and its tests/test_definitions fixtures.
+// ---------------------------------------------------------------------------
+
+/** Chi-square goodness-of-fit p-value vs a categorical partition object
+  * (expect_column_chisquare_test_p_value_to_be_greater_than.py:31 and the
+  * legacy aligned-index algorithm its fixtures encode): observed
+  * value-counts are aligned with expected = weight·n by category; expected
+  * categories missing from the data keep their expectation (observed 0);
+  * observed categories missing from the partition get
+  * n·holdout/#unexpected each while the given weights scale by
+  * (1 − holdout). p = chi2Sf(Σ (o−e)²/e, k−1). */
+final case class ExpectColumnChisquareTestPValueToBeGreaterThan(
+    column: String, partitionValues: Seq[Any], partitionWeights: Seq[Double],
+    p: Double = 0.05, tailWeightHoldout: Double = 0.0,
+    override val rowCondition: Option[String] = None) extends ValueExpectation {
+  require(partitionValues.size == partitionWeights.size,
+    "partition values and weights must align")
+  require(tailWeightHoldout >= 0 && tailWeightHoldout <= 1,
+    "tail_weight_holdout must be between zero and one")
+  val expectationType = "expect_column_chisquare_test_p_value_to_be_greater_than"
+  def kwargs = Map("column" -> column, "p" -> p)
+  def run(df: DataFrame): Evr = {
+    val rows = df.filter(col(column).isNotNull).groupBy(col(column))
+      .agg(count(lit(1)).as("n"))
+      .limit(KlMath.MaxCategories + 1).collect()
+    require(rows.length <= KlMath.MaxCategories,
+      s"chi-square test: column '$column' has more than " +
+        s"${KlMath.MaxCategories} distinct values")
+    val counts = rows.map(r => KlMath.keyOf(r.get(0)) -> r.getLong(1)).toMap
+    val n = counts.valuesIterator.sum
+    val expectedW = partitionValues.map(KlMath.keyOf).zip(partitionWeights).toMap
+    val unexpected = counts.keySet.diff(expectedW.keySet).toSeq.sorted
+    val index = partitionValues.map(KlMath.keyOf) ++ unexpected
+    val observed = index.map(v => counts.getOrElse(v, 0L).toDouble).toArray
+    val expected =
+      if (unexpected.isEmpty) index.map(v => expectedW(v) * n).toArray
+      else {
+        val fill = n * (tailWeightHoldout / unexpected.size)
+        index.map(v => expectedW.get(v)
+          .map(_ * (1 - tailWeightHoldout) * n).getOrElse(fill)).toArray
+      }
+    val (stat, pValue) = graft.functions.StatsMath.chisquare(observed, expected)
+    Evr(expectationType, kwargs, pValue > p,
+      Map("observed_value" -> pValue,
+        "details" -> Map("chi_squared" -> stat, "element_count" -> n)))
+  }
+}
+
+/** One-sample two-sided KS test of a numeric column against a named
+  * parameterized distribution (column_parameterized_distribution_ks_test_
+  * p_value.py:27-44). The sup-distance runs as a distributed prefix-sum
+  * ECDF (KsDistance); the p-value is exact (Marsaglia–Tsang–Wang) near the
+  * decision boundary and asymptotic in the far tail. `params` follows the
+  * reference's scipy positional-args contract — including the uniform/expon
+  * (loc, scale) quirk (metrics/util.py:1143-1148). */
+final case class ExpectColumnParameterizedDistributionKsTestPValueToBeGreaterThan(
+    column: String, distribution: String, params: IndexedSeq[Double],
+    pValue: Double = 0.05,
+    override val rowCondition: Option[String] = None) extends ValueExpectation {
+  require(pValue > 0 && pValue < 1, "p_value must be between 0 and 1 exclusive")
+  // fail at construction for unknown distributions / bad arity
+  graft.functions.StatsMath.cdf(distribution, params)(0.0)
+  val expectationType =
+    "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than"
+  def kwargs = Map("column" -> column, "distribution" -> distribution,
+    "p_value" -> pValue)
+  def run(df: DataFrame): Evr = {
+    val cdf = graft.functions.StatsMath.cdf(distribution, params) _
+    val (d, n) = KsDistance.supDistance(df, column, cdf)
+    if (n == 0L)
+      return Evr(expectationType, kwargs, success = false,
+        Map("observed_value" -> null))
+    val pv = graft.functions.StatsMath.ksSf(d, n)
+    Evr(expectationType, kwargs, pv > pValue,
+      Map("observed_value" -> pv,
+        "details" -> Map("ks_statistic" -> d, "element_count" -> n)))
+  }
+}
+
+object ExpectColumnParameterizedDistributionKsTestPValueToBeGreaterThan {
+  /** Named-parameter constructor (the `params` dict form). */
+  def named(column: String, distribution: String,
+      params: Map[String, Double], pValue: Double = 0.05)
+      : ExpectColumnParameterizedDistributionKsTestPValueToBeGreaterThan =
+    ExpectColumnParameterizedDistributionKsTestPValueToBeGreaterThan(
+      column, distribution,
+      graft.functions.StatsMath.positionalArgs(distribution, params), pValue)
+}
+
+/** Bootstrapped KS test against a continuous partition object
+  * (column_bootstrapped_ks_test_p_value.py:31-123): draw
+  * `bootstrapSamples` samples of `bootstrapSampleSize` with replacement,
+  * KS-test each against the partition's interpolated CDF, and report
+  * (1 + #{pᵢ ≥ p}) / (samples + 1).
+  *
+  * Deviation from the reference (documented): the reference uses an
+  * unseeded numpy generator; this implementation is deterministic under
+  * `seed` so results are reproducible. The column is reduced to a
+  * value-counts histogram first (one distributed pass, capped at
+  * MaxCategories distinct values — the partition CDF is piecewise linear
+  * over ≤ a few hundred bins, so sampling from the histogram is exactly
+  * sampling from the data). */
+final case class ExpectColumnBootstrappedKsTestPValueToBeGreaterThan(
+    column: String, binEdges: Seq[Double], binWeights: Seq[Double],
+    p: Double = 0.05, bootstrapSamples: Int = 1000,
+    bootstrapSampleSize: Int = 0, seed: Long = 42L,
+    override val rowCondition: Option[String] = None) extends ValueExpectation {
+  require(binEdges.size == binWeights.size + 1, "need |edges| = |weights| + 1")
+  require(binEdges.forall(e => !e.isInfinite),
+    "Partition endpoints must be finite")
+  val expectationType =
+    "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than"
+  def kwargs = Map("column" -> column, "p" -> p)
+  def run(df: DataFrame): Evr = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(column).cast("double").as("v"))
+      .filter($"v".isNotNull && !isnan($"v"))
+      .groupBy($"v").agg(count(lit(1)).as("n"))
+      .orderBy($"v")
+      .limit(KlMath.MaxCategories + 1)
+      .as[(Double, Long)].collect()
+    require(rows.length <= KlMath.MaxCategories,
+      s"bootstrapped KS: column '$column' has more than " +
+        s"${KlMath.MaxCategories} distinct values — bucketize first")
+    if (rows.isEmpty)
+      return Evr(expectationType, kwargs, success = false,
+        Map("observed_value" -> null))
+    val n = rows.map(_._2).sum
+    val cum = rows.scanLeft(0L) { case (acc, (_, c)) => acc + c }.tail
+    val edges = binEdges.toArray
+    val cdfY = (0.0 +: binWeights.scanLeft(0.0)(_ + _).tail).toArray
+    def testCdf(x: Double): Double = {
+      // np.interp semantics: clamp outside the bin range
+      if (x <= edges.head) cdfY.head
+      else if (x >= edges.last) cdfY.last
+      else {
+        var i = java.util.Arrays.binarySearch(edges, x)
+        if (i >= 0) cdfY(i)
+        else {
+          i = -i - 1
+          val x0 = edges(i - 1); val x1 = edges(i)
+          cdfY(i - 1) + (cdfY(i) - cdfY(i - 1)) * (x - x0) / (x1 - x0)
+        }
+      }
+    }
+    val size =
+      if (bootstrapSampleSize > 0) bootstrapSampleSize
+      else binWeights.size * 2
+    val rng = new java.util.SplittableRandom(seed)
+    var above = 0
+    val sample = new Array[Double](size)
+    var s = 0
+    while (s < bootstrapSamples) {
+      var i = 0
+      while (i < size) {
+        // histogram inverse-CDF draw == choice() over the raw column
+        val t = rng.nextLong(n)
+        var lo = 0; var hi = cum.length - 1
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cum(mid) <= t) lo = mid + 1 else hi = mid
+        }
+        sample(i) = rows(lo)._1
+        i += 1
+      }
+      java.util.Arrays.sort(sample)
+      var d = 0.0
+      var j = 0
+      while (j < size) {
+        val f = testCdf(sample(j))
+        val dp = (j + 1).toDouble / size - f
+        val dm = f - j.toDouble / size
+        if (dp > d) d = dp
+        if (dm > d) d = dm
+        j += 1
+      }
+      if (graft.functions.StatsMath.ksSf(d, size) >= p) above += 1
+      s += 1
+    }
+    val testResult = (1.0 + above) / (bootstrapSamples + 1)
+    Evr(expectationType, kwargs, testResult > p,
+      Map("observed_value" -> testResult,
+        "details" -> Map(
+          "bootstrap_samples" -> bootstrapSamples,
+          "bootstrap_sample_size" -> size,
+          "element_count" -> n)))
+  }
+}
+
+/** Cramér's φ (bias-uncorrected φc) between two columns
+  * (expect_column_pair_cramers_phi_value_to_be_less_than fixtures; the
+  * modern class is unexported/NotImplemented, so semantics follow the
+  * legacy fixtures): φ = √(χ² / N / (min(r,c) − 1)) over the contingency
+  * table of the two (optionally binned) columns, N = table row count.
+  * Nulls form their own category (fixture
+  * test_float_and_string_with_missings encodes exactly this). Binning:
+  * explicit `bins` are value-lists for categoricals / edge-lists for
+  * numerics (values outside any bin are dropped); `nBins` splits sorted
+  * distinct categoricals contiguously and numerics into equal-width bins —
+  * the legacy n-bins rule for categoricals is not recoverable from the
+  * dormant reference, so this documented deterministic rule stands in.
+  * Scale shape: ONE groupBy over the binned pair — the shuffle carries at
+  * most r·c cells; the capped collect fails loudly beyond MaxCategories. */
+final case class ExpectColumnPairCramersPhiValueToBeLessThan(
+    columnA: String, columnB: String,
+    binsA: Option[Seq[Any]] = None, binsB: Option[Seq[Any]] = None,
+    nBinsA: Option[Int] = None, nBinsB: Option[Int] = None,
+    threshold: Double = 0.1,
+    override val rowCondition: Option[String] = None) extends ValueExpectation {
+  val expectationType = "expect_column_pair_cramers_phi_value_to_be_less_than"
+  def kwargs = Map("column_A" -> columnA, "column_B" -> columnB,
+    "threshold" -> threshold)
+
+  private val NullKey = " __null__"
+
+  /** Binned category key for one column, null-safe. */
+  private def binned(df: DataFrame, c: String, bins: Option[Seq[Any]],
+      nBins: Option[Int]): Column = {
+    val isNum = df.schema(c).dataType match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val base = col(c)
+    bins match {
+      case Some(edgesOrLists) if isNum =>
+        val edges = edgesOrLists.map {
+          case n: Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"numeric bins for '$c' must be numbers, got $other")
+        }.sorted
+        val d = base.cast("double")
+        val cases = edges.sliding(2).zipWithIndex.map { case (Seq(lo, hi), i) =>
+          val inBin = if (i == edges.size - 2) d >= lo && d <= hi
+                      else d >= lo && d < hi
+          when(inBin, lit(s"bin_$i"))
+        }.toSeq
+        val binCase = cases.reduceLeft((a, b) => a.otherwise(b))
+        when(base.isNull, lit(NullKey)).otherwise(binCase)
+      case Some(valueLists) =>
+        // categorical bins: each element is a list of member values
+        val mapping = valueLists.zipWithIndex.flatMap {
+          case (s: Seq[_], i) => s.map(v => String.valueOf(v) -> s"bin_$i")
+          case (v, i) => Seq(String.valueOf(v) -> s"bin_$i")
+        }
+        val m = typedlit(mapping.toMap)
+        when(base.isNull, lit(NullKey))
+          .otherwise(element_at(m, base.cast(StringType)))
+      case None =>
+        nBins match {
+          case Some(k) if isNum =>
+            val d = base.cast("double")
+            val Row2 = df.agg(min(d), max(d)).head()
+            if (Row2.isNullAt(0)) when(base.isNull, lit(NullKey))
+            else {
+              val lo = Row2.getDouble(0); val hi = Row2.getDouble(1)
+              if (lo == hi) when(base.isNull, lit(NullKey)).otherwise(lit("bin_0"))
+              else {
+                val w = (hi - lo) / k
+                val idx = least(floor((d - lo) / w), lit(k - 1)).cast("int")
+                when(base.isNull, lit(NullKey))
+                  .otherwise(concat(lit("bin_"), idx.cast(StringType)))
+              }
+            }
+          case Some(k) =>
+            val uniq = df.select(base.cast(StringType).as("u"))
+              .filter(col("u").isNotNull).distinct()
+              .orderBy("u").limit(KlMath.MaxCategories + 1)
+              .collect().map(_.getString(0))
+            require(uniq.length <= KlMath.MaxCategories,
+              s"cramers phi: column '$c' has too many distinct values to bin")
+            // contiguous split of the sorted uniques into k groups
+            // (np.array_split sizing: first (len % k) groups get one extra)
+            val base_ = uniq.length / k; val extra = uniq.length % k
+            val mapping = scala.collection.mutable.Map[String, String]()
+            var pos = 0
+            var g = 0
+            while (g < k && pos < uniq.length) {
+              val sz = base_ + (if (g < extra) 1 else 0)
+              var i = 0
+              while (i < sz && pos < uniq.length) {
+                mapping(uniq(pos)) = s"bin_$g"; pos += 1; i += 1
+              }
+              g += 1
+            }
+            val m = typedlit(mapping.toMap)
+            when(base.isNull, lit(NullKey))
+              .otherwise(element_at(m, base.cast(StringType)))
+          case None =>
+            when(base.isNull, lit(NullKey)).otherwise(base.cast(StringType))
+        }
+    }
+  }
+
+  def run(df: DataFrame): Evr = {
+    val ka = binned(df, columnA, binsA, nBinsA)
+    val kb = binned(df, columnB, binsB, nBinsB)
+    val cells = df.select(ka.as("a"), kb.as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull) // out-of-bin drops
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .limit(KlMath.MaxCategories + 1).collect()
+    require(cells.length <= KlMath.MaxCategories,
+      "cramers phi: contingency table exceeds the category cap — bin first")
+    if (cells.isEmpty)
+      return Evr(expectationType, kwargs, success = false,
+        Map("observed_value" -> null))
+    val aKeys = cells.map(_.getString(0)).distinct.sorted
+    val bKeys = cells.map(_.getString(1)).distinct.sorted
+    val ai = aKeys.zipWithIndex.toMap
+    val bi = bKeys.zipWithIndex.toMap
+    val o = Array.ofDim[Double](aKeys.length, bKeys.length)
+    cells.foreach(r => o(ai(r.getString(0)))(bi(r.getString(1))) = r.getLong(2).toDouble)
+    val n = cells.map(_.getLong(2)).sum.toDouble
+    val rowS = o.map(_.sum)
+    val colS = bKeys.indices.map(j => o.map(_(j)).sum).toArray
+    val yates = aKeys.length == 2 && bKeys.length == 2 // scipy chi2_contingency
+    var chi2 = 0.0
+    var i = 0
+    while (i < aKeys.length) {
+      var j = 0
+      while (j < bKeys.length) {
+        val e = rowS(i) * colS(j) / n
+        if (e > 0) {
+          val adj = if (yates) math.max(0.0, math.abs(o(i)(j) - e) - 0.5)
+                    else o(i)(j) - e
+          chi2 += adj * adj / e
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val k = math.min(aKeys.length, bKeys.length) - 1
+    val phi = if (k <= 0) 0.0 else math.sqrt(chi2 / n / k)
+    Evr(expectationType, kwargs, phi < threshold,
+      Map("observed_value" -> phi,
+        "details" -> Map("chi_squared" -> chi2,
+          "crosstab_shape" -> Seq(aKeys.length, bKeys.length))))
   }
 }
 

@@ -336,6 +336,67 @@ object SuiteJson {
           ExpectColumnKlDivergenceToBeLessThan(kw.str("column"), values, weights,
             threshold, tail, kw.rowCondition)
       }
+    // --- distributional hypothesis tests -----------------------------------------
+    case "expect_column_chisquare_test_p_value_to_be_greater_than" =>
+      val po = Option(kwNode.get("partition_object")).filterNot(_.isNull)
+        .getOrElse(throw new IllegalArgumentException(
+          "ValueError: chisquare test requires a categorical partition_object"))
+      if (po.has("bins") || !po.has("values"))
+        throw new IllegalArgumentException(
+          "ValueError: chisquare test requires a categorical partition_object " +
+            "(values + weights), not a continuous one")
+      val values = po.get("values").elements().asScala.map(value).toSeq
+      val weights = po.get("weights").elements().asScala.map(_.asDouble()).toSeq
+      ExpectColumnChisquareTestPValueToBeGreaterThan(kw.str("column"),
+        values, weights, kw.dbl("p", 0.05),
+        kw.dbl("tail_weight_holdout", 0.0), kw.rowCondition)
+    case "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than" =>
+      val dist = kw.str("distribution")
+      val pNode = kwNode.get("params")
+      val args =
+        if (pNode == null || pNode.isNull)
+          throw new IllegalArgumentException("params is required")
+        else if (pNode.isArray)
+          pNode.elements().asScala.map(_.asDouble()).toIndexedSeq
+        else {
+          val m = pNode.fieldNames().asScala
+            .map(k => k -> pNode.get(k).asDouble()).toMap
+          graft.functions.StatsMath.positionalArgs(dist, m)
+        }
+      ExpectColumnParameterizedDistributionKsTestPValueToBeGreaterThan(
+        kw.str("column"), dist, args, kw.dbl("p_value", 0.05), kw.rowCondition)
+    case "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than" =>
+      val po = Option(kwNode.get("partition_object")).filterNot(_.isNull)
+        .getOrElse(throw new IllegalArgumentException(
+          "ValueError: bootstrapped KS requires a continuous partition_object"))
+      if (!po.has("bins"))
+        throw new IllegalArgumentException(
+          "ValueError: Invalid continuous partition object.")
+      if (po.has("tail_weights") &&
+          po.get("tail_weights").elements().asScala.map(_.asDouble()).sum > 0)
+        throw new IllegalArgumentException(
+          "Partition cannot have tail weights -- endpoints must be finite.")
+      val bins = po.get("bins").elements().asScala.map(_.asDouble()).toSeq
+      if (bins.exists(_.isInfinite))
+        throw new IllegalArgumentException("Partition endpoints must be finite.")
+      val weights = po.get("weights").elements().asScala.map(_.asDouble()).toSeq
+      ExpectColumnBootstrappedKsTestPValueToBeGreaterThan(kw.str("column"),
+        bins, weights, kw.dbl("p", 0.05),
+        kw.intOpt("bootstrap_samples").getOrElse(1000),
+        kw.intOpt("bootstrap_sample_size").getOrElse(0),
+        rowCondition = kw.rowCondition)
+    case "expect_column_pair_cramers_phi_value_to_be_less_than" =>
+      def binsOf(k: String): Option[Seq[Any]] =
+        Option(kwNode.get(k)).filterNot(_.isNull).map(_.elements().asScala
+          .map { n =>
+            if (n.isArray) n.elements().asScala.map(value).toSeq
+            else value(n)
+          }.toSeq)
+      ExpectColumnPairCramersPhiValueToBeLessThan(
+        kw.str("column_A"), kw.str("column_B"),
+        binsOf("bins_A"), binsOf("bins_B"),
+        kw.intOpt("n_bins_A"), kw.intOpt("n_bins_B"),
+        kw.dbl("threshold", 0.1), kw.rowCondition)
     // --- schema / table shape ---------------------------------------------------
     case "expect_column_to_exist" =>
       ExpectColumnToExist(kw.str("column"), kw.intOpt("column_index"))

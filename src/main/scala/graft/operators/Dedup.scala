@@ -173,4 +173,60 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming").cast(IntegerType).as("hamming"))
     (pairs, stats)
   }
+
+  /** Connected components over a near-dup pair list → (id, cluster) with
+    * cluster = min id reachable. The step every dedup pipeline needs after
+    * pair generation: A≈B and B≈C must collapse to ONE cluster even though
+    * (A,C) was never emitted as a pair.
+    *
+    * Distributed min-label propagation: each round ships every vertex's
+    * current label one hop (edges ⋈ labels, then a min-combine groupBy) and
+    * stops when no label changed. Rounds = component diameter — for dedup
+    * graphs (cliques and short chains by construction) a handful; the
+    * iteration cap fails loudly rather than looping on an adversarial path
+    * graph, where a large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) would be the
+    * drop-in. `localCheckpoint` truncates lineage each round so plan depth
+    * stays O(1), not O(iterations). Shuffles carry only (id, label) pairs. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")).localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0) {
+        require(iter < maxIter,
+          s"connectedComponents did not converge in $maxIter rounds — " +
+            "component diameter exceeds the cap; raise maxIter or switch " +
+            "to the star-contraction variant for chain-shaped graphs")
+        val msgs = edges.join(labels, edges("src") === labels("id"))
+          .select(edges("dst").as("id"), col("lbl"))
+        val next = labels.union(msgs)
+          .groupBy("id").agg(min("lbl").as("nlbl"))
+        val joined = next.join(labels.withColumnRenamed("lbl", "olbl"), "id")
+          .select(col("id"), col("nlbl").as("lbl"),
+            (col("nlbl") < col("olbl")).as("chg"))
+          .localCheckpoint()
+        changed = joined.filter(col("chg")).count()
+        labels = joined.select("id", "lbl")
+        iter += 1
+      }
+      labels.withColumnRenamed("lbl", "cluster")
+    } finally edges.unpersist()
+  }
+
+  /** One-row-per-cluster canonicalization: keep the minimum id of each
+    * near-dup cluster, pass rows with no pair through untouched. */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val clusters = connectedComponents(pairs, aCol, bCol)
+    df.join(clusters, df(idCol) === clusters("id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === df(idCol))
+      .drop("id", "cluster")
+  }
 }

@@ -94,6 +94,22 @@ object DedupQueries {
   private val K = 12
   private val Bands = 4
 
+  /** Shared CTE chain producing the verified n-gram-Jaccard pair list
+    * (q57's oracle body; q65 stacks a recursive closure on top). */
+  private val ngramPairCtes: String =
+    s"""$augDocsSql,
+       |normd AS (SELECT doc_id, string_split($normSql, ' ') AS w, $normSql AS norm FROM docs),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+       |  THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |  ELSE [norm] END) AS s FROM normd),
+       |posting AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM posting a JOIN posting b USING (sg) WHERE a.doc_id < b.doc_id),
+       |j AS (SELECT c.doc_a, c.doc_b,
+       |  CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+       |    / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) AS jaccard
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b)""".stripMargin
+
   private val minhashOracle: String = {
     val sigExprs = (0 until K).map(j =>
       s"list_min(list_transform(s, x -> md5('$j:' || x)))").mkString("[", ", ", "]")
@@ -150,6 +166,11 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
       Dedup.ngramJaccardPairs(augDocs(s, dir), "doc_id", "text", 0.5,
         maxDf = Int.MaxValue) // bit-parity oracle: exhaustive candidates
         .orderBy("doc_a", "doc_b")),
+    "q65_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(augDocs(s, dir), "doc_id", "text", 0.5,
+          maxDf = Int.MaxValue),
+        "doc_a", "doc_b").orderBy("id")),
     "q16_dedup_simhash_fp" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
         .orderBy("doc_id")),
@@ -193,19 +214,21 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
          |FROM docs GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "q15_dedup_minhash" -> minhashOracle,
     "q57_dedup_ngram_jaccard" ->
-      s"""WITH $augDocsSql,
-         |normd AS (SELECT doc_id, string_split($normSql, ' ') AS w, $normSql AS norm FROM docs),
-         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
-         |  THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-         |  ELSE [norm] END) AS s FROM normd),
-         |posting AS (SELECT doc_id, unnest(s) AS sg FROM sh),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM posting a JOIN posting b USING (sg) WHERE a.doc_id < b.doc_id),
-         |j AS (SELECT c.doc_a, c.doc_b,
-         |  CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
-         |    / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) AS jaccard
-         |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b)
+      s"""WITH $ngramPairCtes
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q65_dedup_clusters" ->
+      // transitive closure of the same verified pair list: cluster = min
+      // reachable doc id per node (exactly connectedComponents' fixpoint)
+      s"""WITH RECURSIVE $ngramPairCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |       UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT a, a FROM ed
+         |  UNION
+         |  SELECT ed.a, reach.lbl FROM ed JOIN reach ON ed.b = reach.node)
+         |SELECT node AS id, min(lbl) AS cluster FROM reach
+         |GROUP BY node ORDER BY id""".stripMargin,
     "q16_dedup_simhash_fp" -> simhashFpOracle,
     "q17_dedup_simhash_pairs" -> simhashPairsOracle,
     "q18_dedup_embedding" -> nearDupOracle(augEmbsSql, 0.95),

@@ -200,4 +200,29 @@ class DedupSpec extends AnyFunSuite {
     assert(f1 == f2)
     assert(f1.distinct.size == 4)
   }
+
+  test("connectedComponents: chains collapse to one cluster, min-id label") {
+    // chain 1-2-3-4 (pairwise edges only between neighbors), clique {10,11},
+    // isolated edge {20,21}: transitivity must label 4 with 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // iteration cap fails loudly instead of spinning
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(
+        (1L to 8L).sliding(2).map(s => (s.head, s(1))).toSeq
+          .toDF("doc_a", "doc_b"), "doc_a", "doc_b", maxIter = 1)
+    }
+  }
+
+  test("dedupByPairs keeps one representative per cluster") {
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L))
+  }
 }
