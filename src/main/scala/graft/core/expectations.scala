@@ -1333,7 +1333,7 @@ final case class ExpectColumnPairCramersPhiValueToBeLessThan(
   def kwargs = Map("column_A" -> columnA, "column_B" -> columnB,
     "threshold" -> threshold)
 
-  private val NullKey = " __null__"
+  private val NullKey = "\u0000__null__"
 
   /** Binned category key for one column, null-safe. */
   private def binned(df: DataFrame, c: String, bins: Option[Seq[Any]],

@@ -75,16 +75,20 @@ final class SuiteRunner(
     * expression key), and identical VALUE/query expectations (same case
     * class, same row_condition) resolve once and share their Evr. */
   def runAll(df: DataFrame, suites: Seq[Suite]): Seq[SuiteResult] = {
-    val evrs = mutable.LinkedHashMap.empty[Int, Evr] // preserve suite order
+    val evrs = mutable.HashMap.empty[Int, Evr]
     val exps = suites.flatMap(_.expectations).toIndexedSeq
     val bounds = suites.map(_.expectations.size).scanLeft(0)(_ + _)
 
-    def record(i: Int, t: Try[Evr]): Unit = evrs(i) = t match {
-      case Success(e) => e
-      case Failure(ex) =>
-        val e = exps(i)
-        Evr(e.expectationType, e.kwargs, success = false, Map.empty,
-          exception = Some(s"${ex.getClass.getSimpleName}: ${ex.getMessage}"))
+    // metric jobs run CONCURRENTLY (SuiteRunner.jobEc), so results land in
+    // a lock-guarded map; suite order is restored from the index at the end
+    def record(i: Int, t: Try[Evr]): Unit = evrs.synchronized {
+      evrs(i) = t match {
+        case Success(e) => e
+        case Failure(ex) =>
+          val e = exps(i)
+          Evr(e.expectationType, e.kwargs, success = false, Map.empty,
+            exception = Some(s"${ex.getClass.getSimpleName}: ${ex.getMessage}"))
+      }
     }
 
     // -- schema expectations: pure driver-side --------------------------------
@@ -100,30 +104,42 @@ final class SuiteRunner(
       case (e: MapExpectation, i) => (e: Expectation, i)
       case (e: AggExpectation, i) => (e: Expectation, i)
     }
-    fuseable.groupBy(_._1.rowCondition).foreach { case (cond, group) =>
-      // an unparseable row_condition (bad SQL, unresolved $param) fails
-      // only ITS domain group, not the whole run
-      Try(cond.map(df.filter).getOrElse(df)) match {
-        case Success(domainDf) => runFusedDomain(domainDf, group, record)
-        case Failure(ex) => group.foreach { case (_, i) => record(i, Failure(ex)) }
-      }
+    // Independent Spark jobs — one per compute domain, plus one per VALUE
+    // expectation — are SUBMITTED CONCURRENTLY: on a 32-core local box or a
+    // 1000-executor cluster the scheduler interleaves their tasks, so a
+    // suite's wall-clock is ~max(job) instead of Σ(job). The reference runs
+    // its metric graph serially; nothing in the semantics requires that.
+    val domainJobs = fuseable.groupBy(_._1.rowCondition).toSeq.map {
+      case (cond, group) => () =>
+        // an unparseable row_condition (bad SQL, unresolved $param) fails
+        // only ITS domain group, not the whole run
+        Try(cond.map(df.filter).getOrElse(df)) match {
+          case Success(domainDf) => runFusedDomain(domainDf, group, record)
+          case Failure(ex) => group.foreach { case (_, i) => record(i, Failure(ex)) }
+        }
     }
 
-    // -- VALUE expectations: one small job each; identical expectations
+    // VALUE expectations: one small job each; identical expectations
     // (case-class equality covers type, kwargs AND row_condition) resolve
     // once across the planning unit and share the Evr
-    val valueMemo = mutable.Map.empty[Expectation, Try[Evr]]
-    exps.zipWithIndex.foreach {
-      case (e: ValueExpectation, i) =>
-        record(i, valueMemo.getOrElseUpdate(e, Try(withRetry(
-          e.run(e.rowCondition.map(df.filter).getOrElse(df))))))
-      case _ =>
+    val valueExps = exps.zipWithIndex.collect {
+      case (e: ValueExpectation, i) => (e, i)
+    }
+    val valueMemo = new java.util.concurrent.ConcurrentHashMap[
+      Expectation, Try[Evr]]()
+    val valueJobs = valueExps.map(_._1).distinct.map { e => () =>
+      valueMemo.put(e, Try(withRetry(
+        e.run(e.rowCondition.map(df.filter).getOrElse(df))))): Unit
     }
 
+    SuiteRunner.awaitAll(domainJobs ++ valueJobs)
+    valueExps.foreach { case (e, i) => record(i, valueMemo.get(e)) }
+
     // -- query expectations (memoized like value expectations) ----------------
+    val queryMemo = mutable.Map.empty[Expectation, Try[Evr]]
     exps.zipWithIndex.foreach {
       case (e: UnexpectedRowsExpectation, i) =>
-        record(i, valueMemo.getOrElseUpdate(e, Try(withRetry {
+        record(i, queryMemo.getOrElseUpdate(e, Try(withRetry {
           // unique per-evaluation view: a fixed name would clobber a user's
           // session view and race across concurrent validations
           val view = s"${batchViewName}_${java.util.UUID.randomUUID()
@@ -249,25 +265,29 @@ final class SuiteRunner(
     val live = mapExps.filterNot { case (_, i) => zFailedIdx.contains(i) }
     val (windowExps, plainExps) = live.partition(_._1.usesWindow)
 
-    runMapAggBatch(domainDf, plainExps, aggExps, unexpectedCond, record)
+    // the fused batch and each window-shaped job are independent Spark
+    // jobs over the same scan — submit them concurrently (see runAll)
     val collectIndexes =
       indexColumns.nonEmpty && resultFormat.rank >= Summary.rank
-    windowExps.foreach { case (e, i) =>
-      e match {
-        // uniqueness = a group count, not a window: groupBy gets map-side
-        // combine and shuffles only (distinct key, count) — the full-row
-        // window shuffle is needed only when per-row INDEXES are requested
-        case (_: ExpectColumnValuesToBeUnique |
-              _: ExpectCompoundColumnsToBeUnique) if !collectIndexes =>
-          runGroupedUnique(domainDf, e, i, record)
-        case _ =>
-          if (e.usesGlobalWindow)
-            SuiteRunner.log.warn(s"${e.expectationType}: unpartitioned " +
-              "window — evaluating on a single partition (reference " +
-              "semantics; pass partitionBy for a shuffle-parallel check)")
-          runMapAggBatch(domainDf, Seq((e, i)), Nil, unexpectedCond, record)
+    val jobs = (() => runMapAggBatch(
+      domainDf, plainExps, aggExps, unexpectedCond, record)) +:
+      windowExps.map { case (e, i) => () =>
+        e match {
+          // uniqueness = a group count, not a window: groupBy gets map-side
+          // combine and shuffles only (distinct key, count) — the full-row
+          // window shuffle is needed only when per-row INDEXES are requested
+          case (_: ExpectColumnValuesToBeUnique |
+                _: ExpectCompoundColumnsToBeUnique) if !collectIndexes =>
+            runGroupedUnique(domainDf, e, i, record)
+          case _ =>
+            if (e.usesGlobalWindow)
+              SuiteRunner.log.warn(s"${e.expectationType}: unpartitioned " +
+                "window — evaluating on a single partition (reference " +
+                "semantics; pass partitionBy for a shuffle-parallel check)")
+            runMapAggBatch(domainDf, Seq((e, i)), Nil, unexpectedCond, record)
+        }
       }
-    }
+    SuiteRunner.awaitAll(jobs)
   }
 
   /** Uniqueness via groupBy(keys).count: semantically identical to the
@@ -519,6 +539,38 @@ object SuiteRunner {
   /** validation_graph.py:48 MAX_METRIC_COMPUTATION_RETRIES = 3. */
   val MaxAttempts = 3
   private[core] val log = org.slf4j.LoggerFactory.getLogger(classOf[SuiteRunner])
+
+  /** Shared daemon pool for concurrent metric-job SUBMISSION. Threads here
+    * only drive Spark actions (the work itself runs on executors), so a
+    * cached pool is safe; jobs nest (runAll → runFusedDomain), hence no
+    * fixed bound that could deadlock a parent waiting on its children. */
+  private[core] lazy val jobPool =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-metric-job")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Run the thunks concurrently, wait for all, rethrow the first failure
+    * (after every job has finished — matching the serial form's guarantee
+    * that record() callbacks for completed jobs are never lost). */
+  private[core] def awaitAll(jobs: Seq[() => Unit]): Unit = {
+    if (jobs.isEmpty) return
+    if (jobs.size == 1) { jobs.head(); return }
+    val futures = jobs.map(j =>
+      jobPool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = j()
+      }))
+    var firstFailure: Throwable = null
+    futures.foreach { f =>
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          if (firstFailure == null) firstFailure = e.getCause
+      }
+    }
+    if (firstFailure != null) throw firstFailure
+  }
 }
 
 object Graft {
