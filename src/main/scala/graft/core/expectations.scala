@@ -749,10 +749,13 @@ final case class ExpectColumnMostCommonValueToBeInSet(column: String,
       if (counts.isEmpty) Seq.empty[Any]
       else { val m = counts.head.getLong(1); counts.filter(_.getLong(1) == m).map(_.get(0)).toSeq }
     val set = valueSet.toSet
+    // fixture-pinned semantics (expect_column_most_common_value_to_be_in_
+    // set.json): ties_okay → ANY mode in the set passes; without it a tie
+    // is an outright failure even when every mode is in the set
     val ok =
       if (modes.isEmpty) false
       else if (tiesOkay) modes.exists(set.contains)
-      else modes.forall(set.contains)
+      else modes.size == 1 && set.contains(modes.head)
     Evr(expectationType, kwargs, ok, Map("observed_value" -> modes))
   }
 }
@@ -760,6 +763,9 @@ final case class ExpectColumnMostCommonValueToBeInSet(column: String,
 sealed abstract class DistinctSetExpectation(op: String) extends ValueExpectation {
   def column: String
   def valueSet: Seq[Any]
+  /** value_set = None in the reference is the UNIVERSAL set for be_in
+    * (vacuous pass, observed list still reported) — not the empty set. */
+  protected def universal: Boolean = false
   val expectationType = s"expect_column_distinct_values_to_${op}_set"
   def kwargs = Map("column" -> column, "value_set" -> valueSet)
   /** DISTRIBUTED set compare: success comes from membership COUNTS over the
@@ -785,11 +791,13 @@ sealed abstract class DistinctSetExpectation(op: String) extends ValueExpectatio
     val extra = cnt(1)
     val missingWanted =
       (wantNN.size - cnt(0)) + (if (wantHasNull) 1L else 0L)
-    val ok = op match {
-      case "be_in" => extra == 0L
-      case "contain" => missingWanted == 0L
-      case "equal" => extra == 0L && missingWanted == 0L
-    }
+    val ok =
+      if (universal) true
+      else op match {
+        case "be_in" => extra == 0L
+        case "contain" => missingWanted == 0L
+        case "equal" => extra == 0L && missingWanted == 0L
+      }
     val obs = dist.select(col("__v").cast(StringType).as("__s"))
       .orderBy("__s").limit(ResultFormat.MaxResultRecords)
       .collect().map(_.getString(0)).toSeq
@@ -797,7 +805,10 @@ sealed abstract class DistinctSetExpectation(op: String) extends ValueExpectatio
   }
 }
 final case class ExpectColumnDistinctValuesToBeInSet(column: String, valueSet: Seq[Any],
-    override val rowCondition: Option[String] = None) extends DistinctSetExpectation("be_in")
+    override val rowCondition: Option[String] = None,
+    universalSet: Boolean = false) extends DistinctSetExpectation("be_in") {
+  override protected def universal: Boolean = universalSet
+}
 final case class ExpectColumnDistinctValuesToContainSet(column: String, valueSet: Seq[Any],
     override val rowCondition: Option[String] = None) extends DistinctSetExpectation("contain")
 final case class ExpectColumnDistinctValuesToEqualSet(column: String, valueSet: Seq[Any],
@@ -1522,12 +1533,15 @@ final case class ExpectTableColumnCountToEqual(value: Int) extends SchemaExpecta
       Map("observed_value" -> schema.length))
 }
 
-final case class ExpectTableColumnsToMatchOrderedList(columnList: Seq[String])
-    extends SchemaExpectation {
+final case class ExpectTableColumnsToMatchOrderedList(columnList: Seq[String],
+    vacuous: Boolean = false) extends SchemaExpectation {
   val expectationType = "expect_table_columns_to_match_ordered_list"
   def kwargs = Map("column_list" -> columnList)
   def run(schema: StructType): Evr =
-    Evr(expectationType, kwargs, schema.fieldNames.toSeq == columnList,
+    // column_list = None is vacuously true in the reference (fixture
+    // null_list_provides_vacuously_true_expectation)
+    Evr(expectationType, kwargs,
+      vacuous || schema.fieldNames.toSeq == columnList,
       Map("observed_value" -> schema.fieldNames.toSeq))
 }
 

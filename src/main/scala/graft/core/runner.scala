@@ -374,7 +374,11 @@ final class SuiteRunner(
     val resolveAlias = mutable.Map.empty[(Int, String), String]
     aggExps.foreach { case (e, i) =>
       e.aggs.foreach { case (name, c) =>
-        val key = c.toString
+        // Spark 4 Column.toString elides aggregate modifiers (count(x) and
+        // count(DISTINCT x) print identically) — key on the normalized
+        // ColumnNode (Column.equals semantics: keeps isDistinct, strips
+        // per-instance origins)
+        val key = org.apache.spark.sql.graftshim.Shims.columnKey(c)
         val alias = aggAlias.getOrElseUpdate(key, {
           val a = s"__agg${aggAlias.size}"
           aggCols += c.as(a)

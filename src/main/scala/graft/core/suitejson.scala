@@ -307,8 +307,10 @@ object SuiteJson {
       ExpectColumnMostCommonValueToBeInSet(kw.str("column"), kw.seq("value_set"),
         kw.bool("ties_okay", false), kw.rowCondition)
     case "expect_column_distinct_values_to_be_in_set" =>
-      ExpectColumnDistinctValuesToBeInSet(kw.str("column"), kw.seq("value_set"),
-        kw.rowCondition)
+      // value_set null = universal set (vacuous pass), like map in_set above
+      ExpectColumnDistinctValuesToBeInSet(kw.str("column"),
+        if (kw.isMissingOrNull("value_set")) Nil else kw.seq("value_set"),
+        kw.rowCondition, universalSet = kw.isMissingOrNull("value_set"))
     case "expect_column_distinct_values_to_contain_set" =>
       ExpectColumnDistinctValuesToContainSet(kw.str("column"), kw.seq("value_set"),
         kw.rowCondition)
@@ -409,7 +411,9 @@ object SuiteJson {
     case "expect_table_column_count_to_equal" =>
       ExpectTableColumnCountToEqual(kw.intOpt("value").get)
     case "expect_table_columns_to_match_ordered_list" =>
-      ExpectTableColumnsToMatchOrderedList(kw.strSeq("column_list"))
+      ExpectTableColumnsToMatchOrderedList(
+        if (kw.isMissingOrNull("column_list")) Nil else kw.strSeq("column_list"),
+        vacuous = kw.isMissingOrNull("column_list"))
     case "expect_table_columns_to_match_set" =>
       ExpectTableColumnsToMatchSet(kw.strSeq("column_set"),
         kw.bool("exact_match", true))

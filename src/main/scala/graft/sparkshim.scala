@@ -10,4 +10,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shims {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Structural identity key for a Column: the NORMALIZED ColumnNode (what
+    * Column.equals itself compares) — origins/stack-traces stripped, but
+    * semantic modifiers like isDistinct kept, unlike Column.toString which
+    * elides them (count(x) and count(DISTINCT x) print identically). */
+  def columnKey(c: Column): String = c.node.normalized.toString
 }

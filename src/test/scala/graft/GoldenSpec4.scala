@@ -19,25 +19,17 @@ import graft.core._
   * multiset, unexpected pk_index multiset, observed_value. These files
   * carry the reference's hand-written edge cases (nulls, NaN, mixed
   * types) that the repo's own oracles don't synthesize. */
-class GoldenSpec4 extends AnyFunSuite {
+abstract class GoldenFixtureSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private val base = "/root/reference/tests/test_definitions"
   private val mapper = new ObjectMapper()
 
-  private val files = Seq(
-    "column_map_expectations/expect_column_values_to_be_null.json",
-    "column_map_expectations/expect_column_values_to_not_be_null.json",
-    "column_map_expectations/expect_column_values_to_be_in_set.json",
-    "column_map_expectations/expect_column_values_to_not_be_in_set.json",
-    "column_map_expectations/expect_column_values_to_match_regex_list.json",
-    "column_map_expectations/expect_column_values_to_not_match_regex.json",
-    "column_pair_map_expectations/expect_column_pair_values_to_be_equal.json",
-    "multicolumn_map_expectations/expect_multicolumn_sum_to_equal.json",
-    "multicolumn_map_expectations/expect_compound_columns_to_be_unique.json",
-    "column_aggregate_expectations/expect_column_mean_to_be_between.json",
-    "column_aggregate_expectations/expect_column_sum_to_be_between.json",
-    "column_aggregate_expectations/expect_column_distinct_values_to_equal_set.json")
+  /** Fixture files (relative to tests/test_definitions) to run. */
+  def files: Seq[String]
+
+  /** Test titles to skip with a documented rationale. */
+  def skipTitles: Set[String] = Set.empty
 
   /** Column type from the non-null values; None = mixed/unsupported (tests
     * touching such a column are pandas-object-semantics and are skipped,
@@ -52,12 +44,38 @@ class GoldenSpec4 extends AnyFunSuite {
     else None
   }
 
+  /** The corpus declares per-engine types (`schemas.spark`); honor the
+    * temporal ones — the reference's spark harness loads those columns as
+    * timestamps, and string-typed stand-ins change between/max semantics. */
+  private def declaredType(ds: JsonNode, c: String): Option[DataType] =
+    for {
+      schemas <- Option(ds.get("schemas"))
+      sp <- Option(schemas.get("spark"))
+      t <- Option(sp.get(c)).map(_.asText())
+      dt <- t match {
+        case "TimestampType" => Some(TimestampType)
+        case "DateType" => Some(DateType)
+        case _ => None
+      }
+    } yield dt
+
   private def toValue(n: JsonNode, dt: DataType): Any =
     if (n == null || n.isNull) null
     else dt match {
       case BooleanType => n.booleanValue()
       case LongType => n.longValue()
       case DoubleType => n.doubleValue()
+      case TimestampType =>
+        val s = n.asText().replace("T", " ")
+        try java.sql.Timestamp.valueOf(if (s.length == 10) s + " 00:00:00" else s)
+        catch {
+          case _: IllegalArgumentException =>
+            // the corpus also carries legacy US-style stamps (Jan 01 1970…)
+            java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(n.asText(),
+              java.time.format.DateTimeFormatter.ofPattern(
+                "MMM dd yyyy HH:mm:ss", java.util.Locale.ROOT)))
+        }
+      case DateType => java.sql.Date.valueOf(n.asText().take(10))
       case StringType => n.asText()
       case _ => n.asText()
     }
@@ -86,7 +104,15 @@ class GoldenSpec4 extends AnyFunSuite {
     else if (n.isArray)
       n.elements().asScala.map(expectedStr).toSeq.sorted
         .mkString("[", ",", "]")
-    else canon(n.asText())
+    else {
+      // JSON-shaped scalar strings (json_parseable/match_json_schema data)
+      // must normalize like OUR collected strings do in gotStr — otherwise
+      // the two sides canonicalize asymmetrically
+      val s = n.asText()
+      if (s.startsWith("{") || s.startsWith("["))
+        try expectedStr(mapper.readTree(s)) catch { case _: Exception => canon(s) }
+      else canon(s)
+    }
 
   /** Normalize one of OUR collected values (a string; JSON for pair/
     * multicolumn domains) the same way. */
@@ -111,7 +137,9 @@ class GoldenSpec4 extends AnyFunSuite {
         c -> data.get(c).elements().asScala.toSeq).toMap
       val nRows = colVals.values.map(_.size).maxOption.getOrElse(0)
       val types: Map[String, Option[DataType]] =
-        colVals.map { case (c, vs) => c -> columnType(vs) }
+        colVals.map { case (c, vs) =>
+          c -> declaredType(ds, c).orElse(columnType(vs))
+        }
       val okCols = colNames.filter(types(_).isDefined)
       val schema = StructType(
         StructField("pk_index", LongType, nullable = false) +:
@@ -130,7 +158,8 @@ class GoldenSpec4 extends AnyFunSuite {
             _.elements().asScala.map(_.asText()))
         val mixedCol = usedCols.exists(c =>
           colNames.contains(c) && types(c).isEmpty)
-        if (!sparkAllows(t) || mixedCol) { skipped += 1 }
+        if (!sparkAllows(t) || mixedCol ||
+            skipTitles.contains(t.get("title").asText())) { skipped += 1 }
         else {
           ran += 1
           val title = t.get("title").asText()
@@ -141,10 +170,18 @@ class GoldenSpec4 extends AnyFunSuite {
           e.put("expectation_type", tp)
           e.set("kwargs", in)
           val suite = SuiteJson.fromJson(suiteNode.toString)
+          // table-shape expectations see the dataset's OWN columns — the
+          // synthetic pk_index would shift counts/lists/indexes
+          val shapeTypes = Set("expect_column_to_exist",
+            "expect_table_column_count_to_be_between",
+            "expect_table_column_count_to_equal",
+            "expect_table_columns_to_match_ordered_list",
+            "expect_table_columns_to_match_set")
+          val target = if (shapeTypes.contains(tp)) df.drop("pk_index") else df
           val evr = new SuiteRunner(
             ResultFormatSpec(ResultFormat.Complete,
               unexpectedIndexColumnNames = Seq("pk_index")))
-            .run(df, suite).results.head
+            .run(target, suite).results.head
           val out = t.get("out")
           if (out.has("error") || (out.has("traceback_substring"))) {
             assert(evr.exception.isDefined, s"$clue: expected an error EVR")
@@ -194,11 +231,30 @@ class GoldenSpec4 extends AnyFunSuite {
     assert(ran > 0, s"$relPath: no runnable cases")
   }
 
+  // registration runs in the base constructor, so subclasses MUST supply
+  // `files` as a def (a subclass val would still be null here)
   files.foreach { f =>
-    test(s"golden4: $f") {
+    test(s"golden: $f") {
       assume(new java.io.File(s"$base/$f").exists(),
         "reference fixture corpus not present")
       runFile(f)
     }
   }
+}
+
+/** Wave 1 of the fixture port (round 3). */
+class GoldenSpec4 extends GoldenFixtureSpec {
+  def files = Seq(
+    "column_map_expectations/expect_column_values_to_be_null.json",
+    "column_map_expectations/expect_column_values_to_not_be_null.json",
+    "column_map_expectations/expect_column_values_to_be_in_set.json",
+    "column_map_expectations/expect_column_values_to_not_be_in_set.json",
+    "column_map_expectations/expect_column_values_to_match_regex_list.json",
+    "column_map_expectations/expect_column_values_to_not_match_regex.json",
+    "column_pair_map_expectations/expect_column_pair_values_to_be_equal.json",
+    "multicolumn_map_expectations/expect_multicolumn_sum_to_equal.json",
+    "multicolumn_map_expectations/expect_compound_columns_to_be_unique.json",
+    "column_aggregate_expectations/expect_column_mean_to_be_between.json",
+    "column_aggregate_expectations/expect_column_sum_to_be_between.json",
+    "column_aggregate_expectations/expect_column_distinct_values_to_equal_set.json")
 }
