@@ -74,7 +74,11 @@ final class SuiteRunner(
     * compute domain (identical aggregates dedup via the canonical-
     * expression key), and identical VALUE/query expectations (same case
     * class, same row_condition) resolve once and share their Evr. */
-  def runAll(df: DataFrame, suites: Seq[Suite]): Seq[SuiteResult] = {
+  def runAll(df: DataFrame, suitesIn: Seq[Suite]): Seq[SuiteResult] = {
+    // resolve any still-unresolved $PARAMETER refs (built-ins like now();
+    // undefined refs → isolated exception EVRs). Graft.validate resolves
+    // user params first; this pass makes direct SuiteRunner use safe too.
+    val suites = suitesIn.map(s => SuiteParams.resolve(s, Map.empty))
     val evrs = mutable.HashMap.empty[Int, Evr]
     val exps = suites.flatMap(_.expectations).toIndexedSeq
     val bounds = suites.map(_.expectations.size).scanLeft(0)(_ + _)

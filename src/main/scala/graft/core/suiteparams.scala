@@ -54,8 +54,42 @@ object SuiteParams {
     case _ => None
   }
 
+  /** Built-in evaluation-parameter expressions (the reference's
+    * parse_evaluation_parameter grammar, core/suite_parameters.py:
+    * `now()`, `datetime(y, m, d)`, and `now() ± timedelta(unit=expr)`
+    * with integer arithmetic) — user-supplied params take precedence. */
+  private val DatetimeRe =
+    """datetime\(\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private val NowTimedeltaRe =
+    """now\(\)\s*([+-])\s*timedelta\(\s*(\w+)\s*=\s*([0-9*+\s]+)\)""".r
+
+  /** Products summed: "52*100 + 3" — the grammar subset the reference's
+    * fixtures exercise. */
+  private def intExpr(s: String): Long =
+    s.split('+').map(_.split('*').map(_.trim.toLong).product).sum
+
+  private def builtin(name: String): Option[Any] = name.trim match {
+    case "now()" => Some(new java.sql.Timestamp(System.currentTimeMillis()))
+    case DatetimeRe(y, m, d) => Some(java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(y.toInt, m.toInt, d.toInt, 0, 0)))
+    case NowTimedeltaRe(sign, unit, amount) =>
+      val n = intExpr(amount)
+      val seconds = unit match {
+        case "weeks" => n * 7L * 86400L
+        case "days" => n * 86400L
+        case "hours" => n * 3600L
+        case "minutes" => n * 60L
+        case "seconds" => n
+        case other => throw new IllegalArgumentException(
+          s"unsupported timedelta unit: $other")
+      }
+      val delta = if (sign == "-") -seconds else seconds
+      Some(new java.sql.Timestamp(System.currentTimeMillis() + delta * 1000L))
+    case _ => None
+  }
+
   private def value(params: Map[String, Any])(v: Any): Any = ref(v) match {
-    case Some(name) => params.getOrElse(name,
+    case Some(name) => params.get(name).orElse(builtin(name)).getOrElse(
       throw new IllegalArgumentException(s"undefined suite parameter: $$$name"))
     case None => v
   }

@@ -20,6 +20,10 @@ class GoldenSpec6 extends GoldenFixtureSpec {
     "column_map_expectations/expect_column_values_to_be_json_parseable.json",
     "column_map_expectations/expect_column_values_to_match_json_schema.json",
     "column_map_expectations/expect_column_values_to_be_between.json",
+    "column_map_expectations/expect_column_values_to_be_between_tz_naive.json",
+    "column_map_expectations/expect_column_values_to_be_between__evaluation_parameters.json",
+    "column_map_expectations/expect_column_value_z_scores_to_be_less_than.json",
+    "query_expectations/unexpected_rows_expectation.json",
     "column_pair_map_expectations/expect_column_pair_values_a_to_be_greater_than_b.json",
     "column_pair_map_expectations/expect_column_pair_values_to_be_in_set.json",
     "multicolumn_map_expectations/expect_select_column_values_to_be_unique_within_record.json",
