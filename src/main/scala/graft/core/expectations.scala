@@ -1362,12 +1362,19 @@ final case class ExpectColumnPairCramersPhiValueToBeLessThan(
             s"numeric bins for '$c' must be numbers, got $other")
         }.sorted
         val d = base.cast("double")
-        val cases = edges.sliding(2).zipWithIndex.map { case (Seq(lo, hi), i) =>
-          val inBin = if (i == edges.size - 2) d >= lo && d <= hi
-                      else d >= lo && d < hi
-          when(inBin, lit(s"bin_$i"))
+        // ONE when-chain (Column.when), not nested otherwise(when(...)) —
+        // Spark rejects otherwise() on an already-completed CaseWhen, so
+        // the nested form throws for any 3+-bin edge list
+        val branches = edges.sliding(2).zipWithIndex.map {
+          case (Seq(lo, hi), i) =>
+            val inBin = if (i == edges.size - 2) d >= lo && d <= hi
+                        else d >= lo && d < hi
+            (inBin, lit(s"bin_$i"))
         }.toSeq
-        val binCase = cases.reduceLeft((a, b) => a.otherwise(b))
+        val binCase = branches.tail.foldLeft(
+          when(branches.head._1, branches.head._2)) {
+          case (acc, (cond, v)) => acc.when(cond, v)
+        } // no otherwise: out-of-range values stay null (dropped)
         when(base.isNull, lit(NullKey)).otherwise(binCase)
       case Some(valueLists) =>
         // categorical bins: each element is a list of member values

@@ -21,18 +21,8 @@ private[functions] object MinHashCore {
       override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
     }
 
-  def hex(md: MessageDigest, s: String): String = {
-    val d = md.digest(s.getBytes("UTF-8"))
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      val v = d(i) & 0xff
-      out(2 * i) = Character.forDigit(v >>> 4, 16)
-      out(2 * i + 1) = Character.forDigit(v & 0xf, 16)
-      i += 1
-    }
-    new String(out)
-  }
+  def hex(md: MessageDigest, s: String): String =
+    hexOf(md.digest(s.getBytes("UTF-8")))
 
   /** Distinct word n-gram shingles; degenerate docs → whole-text shingle. */
   def shingleSet(text: String, n: Int): java.util.LinkedHashSet[String] = {

@@ -92,9 +92,13 @@ object StatsMath {
     else gammaQCf(a, x)
   }
 
-  /** Chi-square survival function: P[X >= x] with df degrees of freedom. */
+  /** Chi-square survival function: P[X >= x] with df degrees of freedom.
+    * x = +∞ (a zero expected frequency drives the statistic there, as in
+    * scipy) → p = 0 rather than NaN out of the continued fraction. */
   def chi2Sf(x: Double, df: Double): Double =
-    if (x <= 0) 1.0 else gammaQ(df / 2.0, x / 2.0)
+    if (x <= 0) 1.0
+    else if (x.isInfinity) 0.0
+    else gammaQ(df / 2.0, x / 2.0)
 
   def chi2Cdf(x: Double, df: Double): Double =
     if (x <= 0) 0.0 else gammaP(df / 2.0, x / 2.0)
@@ -234,6 +238,9 @@ object StatsMath {
   /** Asymptotic two-sided sf: 2 Σ (-1)^{j-1} exp(-2 j² n d²). */
   def ksSfAsymptotic(d: Double, n: Long): Double = {
     val t = n * d * d
+    // below t ≈ 0.002 the alternating series needs ≫100 terms, but the
+    // dual (Jacobi-theta) form puts the CDF under e^{-600}: sf is 1
+    if (t < 0.002) return 1.0
     var sum = 0.0
     var j = 1
     var done = false

@@ -195,8 +195,9 @@ object Dedup {
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     try {
-      var labels = edges.select(col("src").as("id")).distinct()
+      var checkpointed = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl")).localCheckpoint()
+      var labels = checkpointed
       var changed = 1L
       var iter = 0
       while (changed > 0) {
@@ -211,7 +212,9 @@ object Dedup {
         val joined = next.join(labels.withColumnRenamed("lbl", "olbl"), "id")
           .select(col("id"), col("nlbl").as("lbl"),
             (col("nlbl") < col("olbl")).as("chg"))
-          .localCheckpoint()
+          .localCheckpoint() // eager: safe to release the previous round
+        checkpointed.unpersist()
+        checkpointed = joined
         changed = joined.filter(col("chg")).count()
         labels = joined.select("id", "lbl")
         iter += 1
@@ -224,9 +227,12 @@ object Dedup {
     * near-dup cluster, pass rows with no pair through untouched. */
   def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String, bCol: String): DataFrame = {
+    // unambiguous internal names: the caller's frame may itself have
+    // columns named id/cluster (drop-by-name would destroy them)
     val clusters = connectedComponents(pairs, aCol, bCol)
-    df.join(clusters, df(idCol) === clusters("id"), "left")
-      .filter(col("cluster").isNull || col("cluster") === df(idCol))
-      .drop("id", "cluster")
+      .select(col("id").as("__cc_id"), col("cluster").as("__cc_cluster"))
+    df.join(clusters, df(idCol) === col("__cc_id"), "left")
+      .filter(col("__cc_cluster").isNull || col("__cc_cluster") === df(idCol))
+      .drop("__cc_id", "__cc_cluster")
   }
 }

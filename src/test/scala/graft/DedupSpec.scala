@@ -224,5 +224,12 @@ class DedupSpec extends AnyFunSuite {
     val kept = Dedup.dedupByPairs(docs, "doc_id", pairs, "doc_a", "doc_b")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 4L, 5L))
+    // caller columns literally named id/cluster must survive untouched
+    val docs2 = (1L to 3L).map(i => (i, s"c$i")).toDF("id", "cluster")
+    val out = Dedup.dedupByPairs(docs2, "id",
+      Seq((1L, 2L)).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+    assert(out.columns.toSeq == Seq("id", "cluster"))
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
   }
 }
