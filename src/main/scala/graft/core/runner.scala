@@ -211,15 +211,21 @@ final class SuiteRunner(
       case a: AggExpectation => a.aggs; ()
       case _ => ()
     }).failed.toOption
-    group.foreach { case (e, i) =>
+    // one probe per expectation (the Columns are rebuilt for the real plan
+    // anyway, but rebuilding twice more just to classify was pure waste on
+    // 100-expectation suites)
+    val probed = group.map { case (e, i) =>
       val miss = missingCols(e)
-      if (miss.nonEmpty) record(i, Failure(new IllegalArgumentException(
-        s"column(s) not found: ${miss.mkString(", ")}")))
-      else buildError(e).foreach(ex => record(i, Failure(ex)))
+      val err: Option[Throwable] =
+        if (miss.nonEmpty) Some(new IllegalArgumentException(
+          s"column(s) not found: ${miss.mkString(", ")}"))
+        else buildError(e)
+      (e, i, err)
     }
-    val ok = group.filter { case (e, _) =>
-      missingCols(e).isEmpty && buildError(e).isEmpty
+    probed.foreach { case (_, i, err) =>
+      err.foreach(ex => record(i, Failure(ex)))
     }
+    val ok = probed.collect { case (e, i, None) => (e, i) }
     val mapExps = ok.collect { case (e: MapExpectation, i) => (e, i) }
     val aggExps = ok.collect { case (e: AggExpectation, i) => (e, i) }
     if (mapExps.isEmpty && aggExps.isEmpty) return
