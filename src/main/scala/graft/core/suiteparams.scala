@@ -234,6 +234,12 @@ object SuiteParams {
     case x: ExpectColumnKlDivergenceToBeLessThan => x.copy(rowCondition = c)
     case x: ExpectColumnKlDivergenceContinuousToBeLessThan => x.copy(rowCondition = c)
     case x: ExpectColumnKlDivergenceAutoToBeLessThan => x.copy(rowCondition = c)
+    case x: ExpectColumnChisquareTestPValueToBeGreaterThan => x.copy(rowCondition = c)
+    case x: ExpectColumnParameterizedDistributionKsTestPValueToBeGreaterThan =>
+      x.copy(rowCondition = c)
+    case x: ExpectColumnBootstrappedKsTestPValueToBeGreaterThan =>
+      x.copy(rowCondition = c)
+    case x: ExpectColumnPairCramersPhiValueToBeLessThan => x.copy(rowCondition = c)
     case x: CustomColumnMapExpectation => x.copy(rowCondition = c)
     case x: CustomMulticolumnMapExpectation => x.copy(rowCondition = c)
     case other => other // schema expectations have no row condition
