@@ -41,6 +41,29 @@ class DistributionalSpec extends AnyFunSuite {
     assert(stat.isPosInfinity)
   }
 
+  test("distributed prefix-sum ECDF == local sorted-sample KS statistic") {
+    import spark.implicits._
+    import graft.functions.StatsMath
+    // 100k skewed values across many partitions, with ties and a null
+    val vals = (0 until 100000).map(i => math.pow(i % 1000 / 1000.0, 2.0))
+    val df = vals.map(v => java.lang.Double.valueOf(v)).toDF("v")
+      .repartition(37)
+    val cdf = StatsMath.cdf("uniform", IndexedSeq(0.0, 1.0)) _
+    val (d, n) = KsDistance.supDistance(df, "v", cdf)
+    assert(n == 100000L)
+    // local reference: classic sorted-sample sup over the same data
+    val sorted = vals.sorted
+    var best = 0.0
+    var i = 0
+    while (i < sorted.length) {
+      val f = cdf(sorted(i))
+      best = math.max(best, math.max((i + 1).toDouble / n - f,
+        f - i.toDouble / n))
+      i += 1
+    }
+    assert(d == best, s"distributed $d vs local $best")
+  }
+
   test("KS asymptotic guard: near-perfect fit at huge n gives p ~ 1") {
     import graft.functions.StatsMath
     val n = 10000000L
