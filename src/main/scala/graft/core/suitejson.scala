@@ -75,6 +75,8 @@ object SuiteJson {
     def seq(name: String): Seq[Any] =
       node(name).map(value(_).asInstanceOf[Seq[Any]]).getOrElse(Nil)
     def strSeq(name: String): Seq[String] = seq(name).map(String.valueOf)
+    def strSeqOpt(name: String): Option[Seq[String]] =
+      node(name).map(_ => strSeq(name))
     /** Strict numeric read: Jackson's asDouble()/asInt() silently coerce
       * non-numeric text to 0 — a "mostly": "One" must load as an error EVR
       * ("is not a valid float", like the reference's pydantic validation),
@@ -206,13 +208,19 @@ object SuiteJson {
     case "expect_column_values_to_be_unique" =>
       ExpectColumnValuesToBeUnique(kw.str("column"), kw.mostly, kw.rowCondition)
     case "expect_column_values_to_be_increasing" =>
+      // partition_by/order_by are the engine's shuffle-parallel extension
+      // (SuiteWriter round-trips them; plain GE documents omit them)
       ExpectColumnValuesToBeIncreasing(kw.str("column"),
-        kw.bool("strictly", false), mostly = kw.mostly,
-        rowCondition = kw.rowCondition)
+        kw.bool("strictly", false),
+        partitionBy = kw.strSeqOpt("partition_by").getOrElse(Nil),
+        orderBy = kw.strSeqOpt("order_by").getOrElse(Nil),
+        mostly = kw.mostly, rowCondition = kw.rowCondition)
     case "expect_column_values_to_be_decreasing" =>
       ExpectColumnValuesToBeDecreasing(kw.str("column"),
-        kw.bool("strictly", false), mostly = kw.mostly,
-        rowCondition = kw.rowCondition)
+        kw.bool("strictly", false),
+        partitionBy = kw.strSeqOpt("partition_by").getOrElse(Nil),
+        orderBy = kw.strSeqOpt("order_by").getOrElse(Nil),
+        mostly = kw.mostly, rowCondition = kw.rowCondition)
     case "expect_column_values_to_match_strftime_format" =>
       ExpectColumnValuesToMatchStrftimeFormat(kw.str("column"),
         kw.str("strftime_format"), kw.mostly, kw.rowCondition)
@@ -302,7 +310,7 @@ object SuiteJson {
           if (it(1).isNull) None else Some(it(1).asDouble()))
       }.toSeq
       ExpectColumnQuantileValuesToBeBetween(kw.str("column"), qs, ranges,
-        rowCondition = kw.rowCondition)
+        kw.dblOpt("relative_error").getOrElse(1e-4), kw.rowCondition)
     case "expect_column_most_common_value_to_be_in_set" =>
       ExpectColumnMostCommonValueToBeInSet(kw.str("column"), kw.seq("value_set"),
         kw.bool("ties_okay", false), kw.rowCondition)
@@ -325,6 +333,8 @@ object SuiteJson {
       po match {
         case None =>
           ExpectColumnKlDivergenceAutoToBeLessThan(kw.str("column"), threshold,
+            kw.strOpt("bins").getOrElse("auto"),
+            kw.intOpt("n_bins").getOrElse(10),
             tailWeightHoldout = tail, internalWeightHoldout = internal,
             rowCondition = kw.rowCondition)
         case Some(p) if p.has("bins") =>
@@ -386,6 +396,7 @@ object SuiteJson {
         bins, weights, kw.dbl("p", 0.05),
         kw.intOpt("bootstrap_samples").getOrElse(1000),
         kw.intOpt("bootstrap_sample_size").getOrElse(0),
+        seed = kw.dblOpt("seed").map(_.toLong).getOrElse(42L),
         rowCondition = kw.rowCondition)
     case "expect_column_pair_cramers_phi_value_to_be_less_than" =>
       def binsOf(k: String): Option[Seq[Any]] =
