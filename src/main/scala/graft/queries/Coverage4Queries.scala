@@ -74,28 +74,34 @@ object Coverage4Queries {
   // --- oracles ---------------------------------------------------------------
 
   private def chiCaseSql(name: String, values: Seq[String], weights: Seq[Double],
-      holdout: Double, unexpectedSorted: Seq[String]): String = {
+      holdout: Double): String = {
     // index order = partition literal order, then unexpected (sorted) —
     // exactly the Spark fold order; contributions fold via list_sum over
-    // that ordering (sequential fold, bit-parity with the Scala while loop)
-    // coefficients are computed HERE in IEEE double and emitted as
+    // that ordering (sequential fold, bit-parity with the Scala while loop).
+    // Coefficients are computed HERE in IEEE double and emitted as
     // string→DOUBLE casts: a bare 17-digit literal goes through DuckDB's
     // DECIMAL path (int64 mantissa beyond 2^53 + power-of-ten division),
     // which lands 1 ulp off the correctly-rounded double the Scala side
-    // holds; VARCHAR→DOUBLE parsing is correctly rounded in both engines
-    val nUnexp = unexpectedSorted.size
+    // holds; VARCHAR→DOUBLE parsing is correctly rounded in both engines.
+    // Unexpected categories are DERIVED from the data so the oracle stays
+    // honest on regenerated testdata; fill = n · (h / #unexp) with
+    // h / #unexp the same double ÷ int64 division the Scala side performs.
+    val valsList = values.map(v => s"'$v'").mkString(", ")
     def dbl(x: Double): String = s"CAST('$x' AS DOUBLE)"
     val exp = values.zip(weights).zipWithIndex.map { case ((v, w), i) =>
       val coeff = if (holdout == 0.0) w else w * (1 - holdout)
       s"SELECT $i AS ord, '$v' AS cat, ${dbl(coeff)} * n AS e FROM nn"
-    } ++ unexpectedSorted.zipWithIndex.map { case (v, i) =>
-      s"SELECT ${values.size + i} AS ord, '$v' AS cat, n * ${dbl(holdout / nUnexp)} AS e FROM nn"
     }
+    val unexp =
+      s"""SELECT ${values.size} + row_number() OVER (ORDER BY u.cat) - 1 AS ord,
+         |  u.cat AS cat, n * (${dbl(holdout)} / (SELECT count(*) FROM cnts
+         |    WHERE cat NOT IN ($valsList))) AS e
+         |FROM (SELECT cat FROM cnts WHERE cat NOT IN ($valsList)) u, nn""".stripMargin
     s"""SELECT '$name' AS chi_case,
        |  list_sum(list((CAST(COALESCE(c.cnt, 0) AS DOUBLE) - x.e)
        |    * (CAST(COALESCE(c.cnt, 0) AS DOUBLE) - x.e) / x.e ORDER BY x.ord)) AS chi_squared,
        |  (SELECT CAST(n AS BIGINT) FROM nn) AS element_count
-       |FROM (${exp.mkString(" UNION ALL ")}) x
+       |FROM (${exp.mkString(" UNION ALL ")} UNION ALL $unexp) x
        |LEFT JOIN cnts c ON c.cat = x.cat""".stripMargin
   }
 
@@ -103,10 +109,9 @@ object Coverage4Queries {
     s"""WITH cnts AS (SELECT event_type AS cat, count(*) AS cnt FROM events
        |    WHERE event_type IS NOT NULL GROUP BY 1),
        |nn AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM cnts)
-       |${chiCaseSql("holdout", ChiValues, ChiWeights, ChiHoldout,
-            Seq("error", "signup"))}
+       |${chiCaseSql("holdout", ChiValues, ChiWeights, ChiHoldout)}
        |UNION ALL
-       |${chiCaseSql("full", ChiFull, ChiFullW, 0.0, Nil)}
+       |${chiCaseSql("full", ChiFull, ChiFullW, 0.0)}
        |ORDER BY chi_case""".stripMargin
   }
 
