@@ -96,25 +96,28 @@ final case class ExpectColumnValuesToNotBeNull(column: String, mostly: Double = 
 
 /** column_values.in_set — an EMPTY value_set marks every non-null value
   * unexpected (golden corpus expect_column_values_to_be_in_set.json:54-60);
-  * only value_set=None is vacuously true in the reference
-  * (column_values_in_set.py:78-88), which this typed model has no analogue
-  * for (omit the expectation instead). */
+  * value_set=None is vacuously true in the reference
+  * (column_values_in_set.py:78-88) — `universalSet` carries that form so
+  * a loaded document round-trips through SuiteWriter. */
 final case class ExpectColumnValuesToBeInSet(column: String, valueSet: Seq[Any],
-    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None,
+    universalSet: Boolean = false)
     extends ColumnMapExpectation {
   val expectationType = "expect_column_values_to_be_in_set"
   def kwargs = Map("column" -> column, "value_set" -> valueSet, "mostly" -> mostly)
   def expected(c: Column): Column =
-    if (valueSet.isEmpty) lit(false) else c.isin(valueSet: _*)
+    if (universalSet) lit(true)
+    else if (valueSet.isEmpty) lit(false) else c.isin(valueSet: _*)
 }
 
 final case class ExpectColumnValuesToNotBeInSet(column: String, valueSet: Seq[Any],
-    mostly: Double = 1.0, override val rowCondition: Option[String] = None)
+    mostly: Double = 1.0, override val rowCondition: Option[String] = None,
+    universalSet: Boolean = false)
     extends ColumnMapExpectation {
   val expectationType = "expect_column_values_to_not_be_in_set"
   def kwargs = Map("column" -> column, "value_set" -> valueSet, "mostly" -> mostly)
   def expected(c: Column): Column =
-    if (valueSet.isEmpty) lit(true) else !c.isin(valueSet: _*)
+    if (universalSet || valueSet.isEmpty) lit(true) else !c.isin(valueSet: _*)
 }
 
 /** column_values.between (column_values_between.py:208-246). */

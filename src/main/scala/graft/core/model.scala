@@ -94,6 +94,9 @@ object SuiteResult {
 
 /** Minimal JSON writer for results/manifests (no external deps). */
 object Json {
+  /** Pre-serialized JSON text injected verbatim (caller guarantees it is
+    * valid JSON — e.g. a kwargs blob captured at load time). */
+  final case class RawJson(text: String)
   def esc(s: String): String = {
     val b = new StringBuilder("\"")
     s.foreach {
@@ -109,6 +112,7 @@ object Json {
   }
   def write(v: Any): String = v match {
     case null | None => "null"
+    case RawJson(t) => t
     case Some(x) => write(x)
     case s: String => esc(s)
     case b: Boolean => b.toString

@@ -75,8 +75,6 @@ object SuiteJson {
     def seq(name: String): Seq[Any] =
       node(name).map(value(_).asInstanceOf[Seq[Any]]).getOrElse(Nil)
     def strSeq(name: String): Seq[String] = seq(name).map(String.valueOf)
-    def strSeqOpt(name: String): Option[Seq[String]] =
-      node(name).map(_ => strSeq(name))
     /** Strict numeric read: Jackson's asDouble()/asInt() silently coerce
       * non-numeric text to 0 — a "mostly": "One" must load as an error EVR
       * ("is not a valid float", like the reference's pydantic validation),
@@ -157,17 +155,15 @@ object SuiteJson {
       // value_set null OR absent is the reference's vacuously-true None
       // (column_values_in_set.py:78-88) — NOT the empty set (which marks
       // every non-null value unexpected)
-      if (kw.isMissingOrNull("value_set"))
-        CustomColumnMapExpectation(tp, kw.str("column"),
-          _ => org.apache.spark.sql.functions.lit(true), kw.mostly, kw.rowCondition)
-      else ExpectColumnValuesToBeInSet(kw.str("column"), kw.seq("value_set"),
-        kw.mostly, kw.rowCondition)
+      ExpectColumnValuesToBeInSet(kw.str("column"),
+        if (kw.isMissingOrNull("value_set")) Nil else kw.seq("value_set"),
+        kw.mostly, kw.rowCondition,
+        universalSet = kw.isMissingOrNull("value_set"))
     case "expect_column_values_to_not_be_in_set" =>
-      if (kw.isMissingOrNull("value_set"))
-        CustomColumnMapExpectation(tp, kw.str("column"),
-          _ => org.apache.spark.sql.functions.lit(true), kw.mostly, kw.rowCondition)
-      else ExpectColumnValuesToNotBeInSet(kw.str("column"), kw.seq("value_set"),
-        kw.mostly, kw.rowCondition)
+      ExpectColumnValuesToNotBeInSet(kw.str("column"),
+        if (kw.isMissingOrNull("value_set")) Nil else kw.seq("value_set"),
+        kw.mostly, kw.rowCondition,
+        universalSet = kw.isMissingOrNull("value_set"))
     case "expect_column_values_to_be_between" =>
       ExpectColumnValuesToBeBetween(kw.str("column"),
         kw.anyOpt("min_value"), kw.anyOpt("max_value"),
@@ -212,14 +208,14 @@ object SuiteJson {
       // (SuiteWriter round-trips them; plain GE documents omit them)
       ExpectColumnValuesToBeIncreasing(kw.str("column"),
         kw.bool("strictly", false),
-        partitionBy = kw.strSeqOpt("partition_by").getOrElse(Nil),
-        orderBy = kw.strSeqOpt("order_by").getOrElse(Nil),
+        partitionBy = kw.strSeq("partition_by"),
+        orderBy = kw.strSeq("order_by"),
         mostly = kw.mostly, rowCondition = kw.rowCondition)
     case "expect_column_values_to_be_decreasing" =>
       ExpectColumnValuesToBeDecreasing(kw.str("column"),
         kw.bool("strictly", false),
-        partitionBy = kw.strSeqOpt("partition_by").getOrElse(Nil),
-        orderBy = kw.strSeqOpt("order_by").getOrElse(Nil),
+        partitionBy = kw.strSeq("partition_by"),
+        orderBy = kw.strSeq("order_by"),
         mostly = kw.mostly, rowCondition = kw.rowCondition)
     case "expect_column_values_to_match_strftime_format" =>
       ExpectColumnValuesToMatchStrftimeFormat(kw.str("column"),
@@ -396,7 +392,8 @@ object SuiteJson {
         bins, weights, kw.dbl("p", 0.05),
         kw.intOpt("bootstrap_samples").getOrElse(1000),
         kw.intOpt("bootstrap_sample_size").getOrElse(0),
-        seed = kw.dblOpt("seed").map(_.toLong).getOrElse(42L),
+        seed = kw.anyOpt("seed") // exact int64 read (dblOpt would round >2^53)
+          .map(_.asInstanceOf[Number].longValue()).getOrElse(42L),
         rowCondition = kw.rowCondition)
     case "expect_column_pair_cramers_phi_value_to_be_less_than" =>
       def binsOf(k: String): Option[Seq[Any]] =

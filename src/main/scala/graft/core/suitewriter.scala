@@ -68,11 +68,11 @@ object SuiteWriter {
         mapKw(x.mostly, x.rowCondition): _*)
     case x: ExpectColumnValuesToBeInSet =>
       base(x.expectationType, Seq("column" -> x.column,
-        "value_set" -> x.valueSet.map(slot)) ++
+        "value_set" -> (if (x.universalSet) null else x.valueSet.map(slot))) ++
         mapKw(x.mostly, x.rowCondition): _*)
     case x: ExpectColumnValuesToNotBeInSet =>
       base(x.expectationType, Seq("column" -> x.column,
-        "value_set" -> x.valueSet.map(slot)) ++
+        "value_set" -> (if (x.universalSet) null else x.valueSet.map(slot))) ++
         mapKw(x.mostly, x.rowCondition): _*)
     case x: ExpectColumnValuesToBeBetween =>
       base(x.expectationType, Seq("column" -> x.column) ++
@@ -229,7 +229,7 @@ object SuiteWriter {
         "value_set" -> x.valueSet.map(slot)) ++ rcKw(x.rowCondition): _*)
     case x: ExpectColumnKlDivergenceToBeLessThan =>
       base(x.expectationType, Seq("column" -> x.column,
-        "partition_object" -> Map("values" -> x.partitionValues,
+        "partition_object" -> Map("values" -> x.partitionValues.map(slot),
           "weights" -> x.partitionWeights),
         "threshold" -> x.threshold,
         "tail_weight_holdout" -> x.tailWeightHoldout) ++
@@ -250,7 +250,7 @@ object SuiteWriter {
         rcKw(x.rowCondition): _*)
     case x: ExpectColumnChisquareTestPValueToBeGreaterThan =>
       base(x.expectationType, Seq("column" -> x.column,
-        "partition_object" -> Map("values" -> x.partitionValues,
+        "partition_object" -> Map("values" -> x.partitionValues.map(slot),
           "weights" -> x.partitionWeights),
         "p" -> x.p, "tail_weight_holdout" -> x.tailWeightHoldout) ++
         rcKw(x.rowCondition): _*)
@@ -266,9 +266,14 @@ object SuiteWriter {
         "bootstrap_sample_size" -> x.bootstrapSampleSize,
         "seed" -> x.seed) ++ rcKw(x.rowCondition): _*)
     case x: ExpectColumnPairCramersPhiValueToBeLessThan =>
+      def binSlot(b: Seq[Any]): Seq[Any] = b.map {
+        case s: Seq[_] => s.map(slot)
+        case v => slot(v)
+      }
       base(x.expectationType, Seq("column_A" -> x.columnA,
         "column_B" -> x.columnB) ++
-        x.binsA.map("bins_A" -> (_: Any)) ++ x.binsB.map("bins_B" -> (_: Any)) ++
+        x.binsA.map(b => "bins_A" -> (binSlot(b): Any)) ++
+        x.binsB.map(b => "bins_B" -> (binSlot(b): Any)) ++
         x.nBinsA.map("n_bins_A" -> (_: Any)) ++
         x.nBinsB.map("n_bins_B" -> (_: Any)) ++
         Seq("threshold" -> x.threshold) ++ rcKw(x.rowCondition): _*)
@@ -294,6 +299,15 @@ object SuiteWriter {
     case x: UnexpectedRowsExpectation =>
       base("unexpected_rows_expectation",
         "unexpected_rows_query" -> x.unexpectedRowsQuery)
+    case x: InvalidExpectation =>
+      // an unknown type loaded from a document keeps its captured kwargs
+      // blob, so a load→save store round-trip preserves it verbatim
+      // instead of dropping or crashing
+      Map("expectation_type" -> x.expectationType,
+        "kwargs" -> Json.RawJson(x.kwargs.get("kwargs") match {
+          case Some(s: String) => s
+          case _ => "{}"
+        }))
     case other =>
       throw new IllegalArgumentException(
         s"${other.expectationType} (${other.getClass.getSimpleName}) carries " +

@@ -88,18 +88,29 @@ object Coverage4Queries {
     // h / #unexp the same double ÷ int64 division the Scala side performs.
     val valsList = values.map(v => s"'$v'").mkString(", ")
     def dbl(x: Double): String = s"CAST('$x' AS DOUBLE)"
+    // engine branch parity: the (1-holdout) scaling applies ONLY when the
+    // data has unexpected categories (expectations.scala alignment); both
+    // branch coefficients are precomputed Scala doubles
+    val unexpCnt = s"(SELECT count(*) FROM cnts WHERE cat NOT IN ($valsList))"
     val exp = values.zip(weights).zipWithIndex.map { case ((v, w), i) =>
-      val coeff = if (holdout == 0.0) w else w * (1 - holdout)
-      s"SELECT $i AS ord, '$v' AS cat, ${dbl(coeff)} * n AS e FROM nn"
+      val scaled = w * (1 - holdout)
+      val e =
+        if (holdout == 0.0) s"${dbl(w)} * n"
+        else s"(CASE WHEN $unexpCnt > 0 THEN ${dbl(scaled)} ELSE ${dbl(w)} END) * n"
+      s"SELECT $i AS ord, '$v' AS cat, $e AS e FROM nn"
     }
     val unexp =
       s"""SELECT ${values.size} + row_number() OVER (ORDER BY u.cat) - 1 AS ord,
-         |  u.cat AS cat, n * (${dbl(holdout)} / (SELECT count(*) FROM cnts
-         |    WHERE cat NOT IN ($valsList))) AS e
+         |  u.cat AS cat, n * (${dbl(holdout)} / $unexpCnt) AS e
          |FROM (SELECT cat FROM cnts WHERE cat NOT IN ($valsList)) u, nn""".stripMargin
+    // e = 0 (zero holdout + unexpected category): the engine's IEEE fold
+    // yields +Infinity; DuckDB's x/0 is NULL and list_sum would drop it
+    val contrib =
+      """CASE WHEN x.e = 0 THEN 'Infinity'::DOUBLE
+        |  ELSE (CAST(COALESCE(c.cnt, 0) AS DOUBLE) - x.e)
+        |    * (CAST(COALESCE(c.cnt, 0) AS DOUBLE) - x.e) / x.e END""".stripMargin
     s"""SELECT '$name' AS chi_case,
-       |  list_sum(list((CAST(COALESCE(c.cnt, 0) AS DOUBLE) - x.e)
-       |    * (CAST(COALESCE(c.cnt, 0) AS DOUBLE) - x.e) / x.e ORDER BY x.ord)) AS chi_squared,
+       |  list_sum(list($contrib ORDER BY x.ord)) AS chi_squared,
        |  (SELECT CAST(n AS BIGINT) FROM nn) AS element_count
        |FROM (${exp.mkString(" UNION ALL ")} UNION ALL $unexp) x
        |LEFT JOIN cnts c ON c.cat = x.cat""".stripMargin

@@ -44,9 +44,11 @@ class DistributionalSpec extends AnyFunSuite {
   test("distributed prefix-sum ECDF == local sorted-sample KS statistic") {
     import spark.implicits._
     import graft.functions.StatsMath
-    // 100k skewed values across many partitions, with ties and a null
+    // 100k skewed values across many partitions, with ties plus null/NaN
+    // rows that must be excluded from both the count and the sup
     val vals = (0 until 100000).map(i => math.pow(i % 1000 / 1000.0, 2.0))
-    val df = vals.map(v => java.lang.Double.valueOf(v)).toDF("v")
+    val df = (vals.map(v => java.lang.Double.valueOf(v)) ++
+      Seq[java.lang.Double](null, Double.NaN)).toDF("v")
       .repartition(37)
     val cdf = StatsMath.cdf("uniform", IndexedSeq(0.0, 1.0)) _
     val (d, n) = KsDistance.supDistance(df, "v", cdf)

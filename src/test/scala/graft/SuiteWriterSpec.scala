@@ -145,6 +145,27 @@ class SuiteWriterSpec extends AnyFunSuite {
     assert(SuiteWriter.toJson(back) == json)
   }
 
+  test("vacuous value_set:null and unknown types survive a load→save trip") {
+    val doc =
+      """{"expectation_suite_name":"store","expectations":[
+        |{"expectation_type":"expect_column_values_to_be_in_set",
+        | "kwargs":{"column":"a","value_set":null}},
+        |{"expectation_type":"expect_column_values_to_not_be_in_set",
+        | "kwargs":{"column":"a","value_set":null}},
+        |{"expectation_type":"expect_totally_unknown_thing",
+        | "kwargs":{"column":"a","custom_knob":3}}]}""".stripMargin
+    val loaded = SuiteJson.fromJson(doc)
+    assert(loaded.expectations(0)
+      .asInstanceOf[ExpectColumnValuesToBeInSet].universalSet)
+    val rewritten = SuiteWriter.toJson(loaded)
+    val again = SuiteJson.fromJson(rewritten)
+    assert(again.expectations(0) == loaded.expectations(0))
+    assert(again.expectations(1) == loaded.expectations(1))
+    // the unknown type keeps its kwargs blob verbatim
+    assert(rewritten.contains(""""custom_knob":3"""))
+    assert(again.expectations(2).expectationType == "expect_totally_unknown_thing")
+  }
+
   test("live-object expectations fail loudly instead of serializing") {
     val e = intercept[IllegalArgumentException] {
       SuiteWriter.toJson(Suite("bad", Seq(CustomColumnMapExpectation(
