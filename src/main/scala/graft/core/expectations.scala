@@ -555,26 +555,31 @@ sealed trait AggExpectation extends Expectation {
 /** min/max-between template (expectation.py:1587-1657): null bound = open. */
 object BetweenCheck {
   /** Temporal observed values (date/timestamp min/max aggregates) compare
-    * on an epoch rank; numbers on doubleValue. */
+    * on ONE scale: wall-clock-at-UTC epoch millis, regardless of which
+    * Java type Spark hands back (java.sql.* vs java8 time API) — the
+    * getTime/toEpochDay mix ranked LocalDate in DAYS against Timestamp in
+    * host-local MILLIS, silently mis-verdicting mixed comparisons. */
   private def rank(v: Any): Option[Double] = v match {
     case n: Number => Some(n.doubleValue())
-    case d: java.sql.Date => Some(d.getTime.toDouble)
-    case t: java.sql.Timestamp => Some(t.getTime.toDouble)
-    case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay * 86400000.0)
+    case t: java.sql.Timestamp => Some(t.toLocalDateTime
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble)
+    case d: java.time.LocalDate => Some(d.toEpochDay * 86400000.0)
     case i: java.time.Instant => Some(i.toEpochMilli.toDouble)
     case dt: java.time.LocalDateTime =>
       Some(dt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble)
     case _ => None
   }
   /** ISO-8601 / SQL-style datetime strings as bounds (common in GE JSON
-    * suites for min/max expectations on date columns) compare temporally
-    * on the same java.sql epoch-millis rank as typed temporal bounds. */
+    * suites for min/max expectations on date columns) parse through
+    * java.time (host-TZ-independent) onto the same wall-clock rank. */
   private def temporalString(s: String): Option[Double] = {
     def opt(f: => Double): Option[Double] =
       try Some(f) catch { case _: Exception => None }
-    opt(java.sql.Date.valueOf(s).getTime.toDouble)
-      .orElse(opt(java.sql.Timestamp.valueOf(s).getTime.toDouble))
+    opt(java.time.LocalDate.parse(s).toEpochDay * 86400000.0)
       .orElse(opt(java.time.LocalDateTime.parse(s)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble))
+      .orElse(opt(java.time.LocalDateTime.parse(s.replace(' ', 'T'))
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble))
       .orElse(opt(java.time.Instant.parse(s).toEpochMilli.toDouble))
   }

@@ -151,12 +151,19 @@ final class SuiteRunner(
           df.createOrReplaceTempView(view)
           try {
             val sql = e.unexpectedRowsQuery.replace("{batch}", view)
-            val resDf = df.sparkSession.sql(sql)
+            val resDf0 = df.sparkSession.sql(sql)
+            // positional rename: a query may emit duplicate or dotted
+            // output names (SELECT a.x, b.x ...), which col(name) cannot
+            // address unambiguously
+            val resDf = resDf0.toDF(
+              resDf0.columns.indices.map(i => s"__c$i"): _*)
             // ONE job: the TRUE unexpected-row count and the capped row
             // sample come from a single fused aggregate (the old shape
             // re-ran the whole query for the count when the sample cap
             // was hit). observed_value stays the true count
-            // (unexpected_rows_expectation.py:96).
+            // (unexpected_rows_expectation.py:96). The sample is an
+            // arbitrary capped subset (a query-level ORDER BY does not
+            // survive the aggregate) — the count is exact.
             val rowStr = concat(lit("["), concat_ws(",",
               resDf.columns.map(c =>
                 coalesce(col(c).cast(StringType), lit("null"))): _*), lit("]"))

@@ -97,7 +97,11 @@ object TextKernels {
     }
 
     def add(text: String, s: Int, e: Int): Unit = {
-      if ((n + 1) * 3 >= table.length) grow()
+      // the aux arrays (starts/ends/hashes/slots) are the tight bound —
+      // table is 4× their length, so a table-only guard would overflow
+      // starts(n) at n = starts.length (any text with > 256 distinct
+      // tokens) long before the load factor fired
+      if (n == starts.length || (n + 1) * 3 >= table.length) grow()
       var h = 0
       var i = s
       while (i < e) { h = h * 31 + text.charAt(i); i += 1 }

@@ -38,8 +38,23 @@ object StreamingQueries {
     val name = "q_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    // a timed-out AvailableNow run would leave a PARTIAL memory table that
+    // reads as a (misleading) oracle mismatch — fail loudly instead
+    require(q.awaitTermination(300000),
+      "streaming query did not complete within 300s — partial sink")
     name
+  }
+
+  /** Staged-input cleanup: the memory sink is driver-resident once the
+    * query terminates, so the replay parquet can be deleted eagerly
+    * (repeated Verify/bench invocations must not accumulate temp copies
+    * of the transcript table). */
+  private def dropStaged(staged: String): Unit = {
+    val root = java.nio.file.Paths.get(staged)
+    val all = java.nio.file.Files.walk(root)
+    try all.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally all.close()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -53,6 +68,7 @@ object StreamingQueries {
           QualityFilter.AllowedRoles))
       val view = runToMemory(StreamingValidate.validateStream(
         replay(s, staged), exps, "ts", "1 hour", "1 day"), "complete")
+      dropStaged(staged)
       s.sql(s"""SELECT date_format(window.start, 'yyyy-MM-dd') AS day,
         element_count, text_not_null_unexpected AS text_null_n,
         role_in_set_unexpected AS bad_role_n
@@ -65,6 +81,7 @@ object StreamingQueries {
       val staged = stage(s, dir)
       val view = runToMemory(StreamingValidate.exactDedupStream(
         replay(s, staged), "text", "ts", "3650 days"), "append")
+      dropStaged(staged)
       s.table(view)
         .select(md5(graft.functions.TextFunctions.normText(col("text")))
           .as("text_hash"))
@@ -87,5 +104,5 @@ object StreamingQueries {
       (Transcripts.oracleCtePrefix + "\n" +
         s"""SELECT DISTINCT md5(${graft.functions.TextFunctions.normTextSql("text")})
            |  AS text_hash
-           |FROM transcripts ORDER BY text_hash""".stripMargin))
+           |FROM transcripts ORDER BY text_hash NULLS FIRST""".stripMargin))
 }

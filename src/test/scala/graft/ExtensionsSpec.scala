@@ -32,4 +32,19 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT collect_limited(id, 2) AS c FROM t").head()
     assert(agg.getAs[scala.collection.Seq[Int]]("c").size == 2)
   }
+
+  test("token kernels survive texts with thousands of distinct tokens") {
+    import spark.implicits._
+    // regression: the exact distinct-token set's grow guard keyed on the
+    // hash table (4× the aux arrays), overflowing at token 257
+    val big = (0 until 5000).map(i => s"tok$i").mkString(" ")
+    val r = Seq(big, "small text").toDF("text")
+      .selectExpr("token_stats(text).n_tokens AS nt",
+        "token_stats(text).n_distinct AS nd",
+        "lang_ppl_score(text).avg_logprob AS lp")
+      .collect()
+    assert(r(0).getAs[Int]("nt") == 5000)
+    assert(r(0).getAs[Int]("nd") == 5000)
+    assert(!r(0).isNullAt(2))
+  }
 }
