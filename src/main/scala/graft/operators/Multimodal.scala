@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   * analogue of `mapInPandas`: iterator-of-batches in, iterator out, no
   * driver collection).
   *
-  * The actual image/audio decoders are NOT available in this environment,
-  * so `decode` is a clearly-marked deterministic fake: it "decodes" a
-  * payload into a 16-bin byte histogram feature. Everything around it —
-  * binary schema, batch iteration, partition parallelism, feature-vector
-  * output — is the real production shape: swapping in a JNI/ONNX decoder
-  * changes only the marked function body.
+  * IMAGES decode for real: the JDK ships ImageIO readers for PNG / JPEG /
+  * BMP / GIF, so `decodeImage` / `extractImageFeatures` / `resizeImages`
+  * operate on actual pixels (nearest-neighbor resize and integer channel
+  * sums keep results deterministic across JVMs). Audio/video codecs are
+  * NOT in the JDK, so `decodeToFeature` remains a clearly-marked
+  * deterministic fake for those payloads — the binary schema, batch
+  * iteration, and partition parallelism around it are the real
+  * production shape, and swapping in a JNI/ffmpeg/ONNX decoder changes
+  * only the marked function body.
   */
 object Multimodal {
 
@@ -84,6 +87,105 @@ object Multimodal {
         val meta = r.getStruct(metaIdx)
         Row(r.getLong(idIdx), resized,
           Row(meta.getString(0), resized.length, meta.getString(2)))
+      }
+    }(Encoders.row(schema))
+  }
+
+  // ---------------------------------------------------------------------------
+  // REAL image path — JDK ImageIO (PNG / JPEG / BMP / GIF ship with the
+  // JVM, no external codec needed). Audio/video formats have no JDK
+  // decoder, so only those still go through the marked stub above.
+  // ---------------------------------------------------------------------------
+
+  /** Magic-number sniff for the JDK-decodable formats. */
+  def looksLikeImage(payload: Array[Byte]): Boolean =
+    payload.length >= 4 && (
+      (payload(0) == 0x89.toByte && payload(1) == 'P' && payload(2) == 'N') ||
+      (payload(0) == 0xFF.toByte && payload(1) == 0xD8.toByte) || // JPEG
+      (payload(0) == 'B' && payload(1) == 'M') || // BMP
+      (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F'))
+
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!looksLikeImage(payload)) None
+    else Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+
+  /** Real per-image features: dimensions + exact per-channel pixel sums
+    * (integer arithmetic — deterministic across JVMs). Non-image payloads
+    * yield width = height = -1 with the stub histogram's total instead. */
+  def extractImageFeatures(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        decodeImage(payload) match {
+          case Some(img) =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.getLong(idIdx), img.getWidth, img.getHeight, sr, sg, sb)
+          case None =>
+            Row(r.getLong(idIdx), -1, -1,
+              payload.length.toLong, 0L, 0L)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Real image resize (nearest-neighbor — deterministic, no filtering
+    * kernels that vary by JVM) to fit within `maxDim`, re-encoded as PNG;
+    * non-image payloads pass through untouched. Output schema matches the
+    * input media shape so it composes with extractImageFeatures. */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("was_image", BooleanType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        decodeImage(payload) match {
+          case Some(img) =>
+            val scale = math.min(1.0,
+              maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+            val w = math.max(1, (img.getWidth * scale).toInt)
+            val h = math.max(1, (img.getHeight * scale).toInt)
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) { // nearest-neighbor sample
+              var x = 0
+              while (x < w) {
+                out.setRGB(x, y, img.getRGB(
+                  math.min(img.getWidth - 1, x * img.getWidth / w),
+                  math.min(img.getHeight - 1, y * img.getHeight / h)))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Row(r.getLong(idIdx), bos.toByteArray, true)
+          case None => Row(r.getLong(idIdx), payload, false)
+        }
       }
     }(Encoders.row(schema))
   }
