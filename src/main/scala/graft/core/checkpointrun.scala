@@ -23,6 +23,72 @@ object SuiteCheckpoint {
         s"$dir/$checkpointName/${sr.suiteName}.json")
   }
 
+  /** InMemoryStoreBackend analogue (data_context/store/in_memory_store_
+    * backend.py): a session-scoped, thread-safe results store keyed by
+    * (checkpoint, suite). The store instance doubles as the action. */
+  final class InMemoryResultStore extends ValidationAction {
+    private val store = new java.util.concurrent.ConcurrentHashMap[
+      (String, String), SuiteResult]()
+    def run(checkpointName: String, sr: SuiteResult): Unit =
+      store.put((checkpointName, sr.suiteName), sr): Unit
+    def get(checkpointName: String, suiteName: String): Option[SuiteResult] =
+      Option(store.get((checkpointName, suiteName)))
+    def keys: Seq[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      store.keySet().asScala.toSeq.sorted
+    }
+  }
+
+  /** DatabaseStoreBackend analogue (data_context/store/database_store_
+    * backend.py): one row per suite result over plain JDBC — any driver on
+    * the classpath (tests round-trip through embedded Derby; a cluster
+    * deployment points `url` at its warehouse DB). The document column
+    * carries the same GE-shaped JSON the filesystem store writes, plus
+    * queryable checkpoint/suite/success columns. Idempotent per
+    * (checkpoint, suite): re-running a checkpoint replaces the row, like
+    * the reference's fixed-key store set(). */
+  final case class JdbcResultStore(url: String,
+      table: String = "graft_validation_results") extends ValidationAction {
+    def run(checkpointName: String, sr: SuiteResult): Unit = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val meta = conn.getMetaData.getTables(
+          null, null, table.toUpperCase(java.util.Locale.ROOT), null)
+        val exists = try meta.next() finally meta.close()
+        if (!exists) {
+          val st = conn.createStatement()
+          try st.executeUpdate(
+            s"""CREATE TABLE $table (
+               |  checkpoint_name VARCHAR(256) NOT NULL,
+               |  suite_name VARCHAR(256) NOT NULL,
+               |  run_success BOOLEAN NOT NULL,
+               |  evaluated INT NOT NULL,
+               |  successful INT NOT NULL,
+               |  document CLOB NOT NULL,
+               |  PRIMARY KEY (checkpoint_name, suite_name))""".stripMargin)
+          finally st.close()
+        }
+        val del = conn.prepareStatement(
+          s"DELETE FROM $table WHERE checkpoint_name = ? AND suite_name = ?")
+        try {
+          del.setString(1, checkpointName); del.setString(2, sr.suiteName)
+          del.executeUpdate()
+        } finally del.close()
+        val ins = conn.prepareStatement(
+          s"INSERT INTO $table VALUES (?, ?, ?, ?, ?, ?)")
+        try {
+          ins.setString(1, checkpointName)
+          ins.setString(2, sr.suiteName)
+          ins.setBoolean(3, sr.success)
+          ins.setInt(4, sr.statistics.evaluatedExpectations)
+          ins.setInt(5, sr.statistics.successfulExpectations)
+          ins.setString(6, graft.sources.BatchReader.suiteResultJson(sr))
+          ins.executeUpdate(): Unit
+        } finally ins.close()
+      } finally conn.close()
+    }
+  }
+
   /** Log-emission action (the notification analogue with no egress). */
   final case class LogResult(
       log: String => Unit = m => org.slf4j.LoggerFactory

@@ -61,6 +61,11 @@ sealed trait MapExpectation extends Expectation {
   /** True when the window has no partition spec: evaluation is a
     * single-partition sort, correct but non-scalable by construction. */
   def usesGlobalWindow: Boolean = false
+  /** Pre-compute schema gate: metric providers that demand a specific input
+    * type (strftime/dateutil require strings, column_values_match_strftime_
+    * format.py:40) raise before evaluation; the runner turns the message
+    * into this expectation's isolated exception EVR. */
+  def schemaError(schema: StructType): Option[String] = None
 }
 
 /** Column-map expectation: expected(col) over non-null values.
@@ -295,6 +300,14 @@ final case class ExpectColumnValuesToMatchStrftimeFormat(column: String,
   def kwargs = Map("column" -> column, "strftime_format" -> strftimeFormat, "mostly" -> mostly)
   def expected(c: Column): Column =
     try_to_timestamp(c, lit(Strftime.toJavaPattern(strftimeFormat))).isNotNull
+  override def schemaError(schema: StructType): Option[String] =
+    schema.find(_.name == column).collect {
+      case f if f.dataType != StringType =>
+        // reference raises for non-string inputs (already-parsed timestamps
+        // included) rather than silently formatting them
+        s"Values passed to $expectationType must be of type string.\n" +
+          s"If your data is stored in another type, please first convert it to string, e.g. with CAST($column AS STRING)."
+    }
 }
 
 /** strftime → java.time.DateTimeFormatter pattern translation (the reference
@@ -306,12 +319,13 @@ object Strftime {
     'I' -> "hh", 'M' -> "mm", 'S' -> "ss", 'f' -> "SSSSSS", 'p' -> "a",
     'j' -> "DDD", 'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM", 'B' -> "MMMM",
     'Z' -> "zz", 'z' -> "xx", '%' -> "%")
-  private val patternLetters = "GyMLdEuQqHhKkmsSaVzOXxZ"
   /** Quote a literal char for DateTimeFormatter: '' for a quote, 'c' for
-    * pattern letters, bare otherwise. */
+    * ANY letter (every ASCII letter is reserved in DateTimeFormatter
+    * patterns — a bare literal 'T' from "%Y-%m-%dT…" would throw "Unknown
+    * pattern letter" at evaluation time), bare otherwise. */
   private def quoteLiteral(out: StringBuilder, ch: Char): Unit =
     if (ch == '\'') out.append("''")
-    else if (patternLetters.indexOf(ch.toInt) >= 0)
+    else if ((ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z'))
       out.append('\'').append(ch).append('\'')
     else out.append(ch)
   def toJavaPattern(fmt: String): String = {
@@ -321,12 +335,13 @@ object Strftime {
       val ch = fmt.charAt(i)
       if (ch == '%' && i + 1 < fmt.length) {
         val d = fmt.charAt(i + 1)
-        // unknown %-directives are literals; quote ones that collide with
-        // DateTimeFormatter pattern letters (e.g. %e) instead of corrupting
-        // the pattern
+        // untranslatable %-directives fail LOUDLY, like Python strptime's
+        // "'D' is a bad directive" that the reference wraps — a silent
+        // literal fallback would mark every row unexpected instead
         table.get(d) match {
           case Some(p) => out.append(p)
-          case None => quoteLiteral(out, d)
+          case None => throw new IllegalArgumentException(
+            s"Unable to use provided strftime_format. ('%$d' is not a supported directive)")
         }
         i += 2
       } else { quoteLiteral(out, ch); i += 1 }
@@ -363,7 +378,25 @@ final case class ExpectColumnValuesToBeDateutilParseable(column: String,
     extends ColumnMapExpectation {
   val expectationType = "expect_column_values_to_be_dateutil_parseable"
   def kwargs = Map("column" -> column, "mostly" -> mostly)
-  def expected(c: Column): Column = try_to_timestamp(c).isNotNull
+  /** dateutil is a permissive multi-format parser; this covers its common
+    * accept set as a codegen'd coalesce battery (ISO via Spark's default
+    * parse, then US month-first slash/dash forms as dateutil defaults to,
+    * then verbose month-name forms) — a documented subset of dateutil's
+    * full heuristic (the reference runs dateutil.parser.parse in a Python
+    * UDF, column_values_dateutil_parseable.py:32-44). */
+  def expected(c: Column): Column = {
+    val formats = Seq("MM/dd/yyyy", "MM-dd-yyyy", "yyyy/MM/dd",
+      "MMM dd yyyy", "MMM dd, yyyy", "MMMM dd, yyyy", "dd MMM yyyy",
+      "MM/dd/yyyy HH:mm:ss", "MM/dd/yy")
+    coalesce((try_to_timestamp(c) +:
+      formats.map(f => try_to_timestamp(c, lit(f)))): _*).isNotNull
+  }
+  override def schemaError(schema: StructType): Option[String] =
+    schema.find(_.name == column).collect {
+      case f if f.dataType != StringType =>
+        s"Values passed to $expectationType must be of type string.\n" +
+          s"If your data is stored in another type, please first convert it to string, e.g. with CAST($column AS STRING)."
+    }
 }
 
 /** Extension point mirroring the reference's custom-expectation surface
@@ -545,6 +578,8 @@ final case class ExpectSelectColumnValuesToBeUniqueWithinRecord(columns: Seq[Str
 // ---------------------------------------------------------------------------
 
 sealed trait AggExpectation extends Expectation {
+  /** Pre-compute schema gate (see MapExpectation.schemaError). */
+  def schemaError(schema: StructType): Option[String] = None
   /** Named aggregate columns; names must be unique per expectation and are
     * namespaced by the runner. */
   def aggs: Seq[(String, Column)]
@@ -555,15 +590,18 @@ sealed trait AggExpectation extends Expectation {
 /** min/max-between template (expectation.py:1587-1657): null bound = open. */
 object BetweenCheck {
   /** Temporal observed values (date/timestamp min/max aggregates) compare
-    * on ONE scale: wall-clock-at-UTC epoch millis, regardless of which
-    * Java type Spark hands back (java.sql.* vs java8 time API) — the
-    * getTime/toEpochDay mix ranked LocalDate in DAYS against Timestamp in
-    * host-local MILLIS, silently mis-verdicting mixed comparisons. */
+    * on ONE scale — epoch millis. Instant-typed values (java.sql.Timestamp,
+    * java.time.Instant — both carry a true epoch) rank by that epoch
+    * directly; only genuinely zone-LESS types (LocalDate/LocalDateTime,
+    * Spark's DATE/TIMESTAMP_NTZ externals) anchor their wall clock at a
+    * fixed UTC offset. Routing Timestamp through toLocalDateTime would
+    * re-interpret its epoch in the JVM default zone: a non-UTC host would
+    * shift comparisons by its offset and DST fall-back would make the rank
+    * non-monotonic. */
   private def rank(v: Any): Option[Double] = v match {
     case n: Number => Some(n.doubleValue())
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay * 86400000.0)
-    case t: java.sql.Timestamp => Some(t.toLocalDateTime
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble)
+    case t: java.sql.Timestamp => Some(t.getTime.toDouble)
     case d: java.time.LocalDate => Some(d.toEpochDay * 86400000.0)
     case i: java.time.Instant => Some(i.toEpochMilli.toDouble)
     case dt: java.time.LocalDateTime =>
@@ -592,9 +630,11 @@ object BetweenCheck {
         s"unresolved suite parameter: $$$name (call SuiteParams.resolve first)")
       case s: String => temporalString(s).getOrElse(
         throw new IllegalArgumentException(
-          s"non-numeric/non-temporal bound: $s"))
+          s"bound '$s' is neither numeric nor a parseable datetime " +
+            "(invalid datetime format)"))
       case other => throw new IllegalArgumentException(
-        s"non-numeric/non-temporal bound: $other")
+        s"bound '$other' is neither numeric nor a parseable datetime " +
+          "(invalid datetime format)")
     })
   }
   def check(v: Any, minV: Option[Double], maxV: Option[Double],
@@ -616,9 +656,31 @@ sealed abstract class ColumnAggBetween(metric: String, aggFn: Column => Column)
   def strictMin: Boolean = false
   def strictMax: Boolean = false
   val expectationType = s"expect_column_${metric}_to_be_between"
+  /** mean/sum/stdev demand a numeric input column; the reference raises a
+    * "numeric"-typed metric error rather than coercing strings (min/max
+    * stay permissive — they order strings and timestamps). */
+  override def schemaError(schema: StructType): Option[String] =
+    if (metric != "mean" && metric != "sum" && metric != "stdev") None
+    else schema.find(_.name == column).collect {
+      case f if !f.dataType.isInstanceOf[NumericType] &&
+          f.dataType != NullType && f.dataType != BooleanType =>
+        s"column '$column' must be numeric for $expectationType " +
+          s"(found ${f.dataType.simpleString})"
+    }
   def kwargs = Map("column" -> column, "min_value" -> minValue.orNull,
     "max_value" -> maxValue.orNull)
-  def aggs: Seq[(String, Column)] = Seq("observed" -> aggFn(col(column)))
+  /** `__ec`/`__nn` feed the element_count/missing_count fields the reference
+    * reports on column-aggregate EVRs; identical aggregates dedup across the
+    * fused pass so they cost nothing extra. Bounds are validated HERE (the
+    * probe step calls aggs before planning) so a malformed bound fails this
+    * expectation with its own parse error before any Spark job — matching
+    * the reference, whose kwarg validation precedes metric compute. */
+  def aggs: Seq[(String, Column)] = {
+    BetweenCheck.bound(minValue)
+    BetweenCheck.bound(maxValue)
+    Seq("observed" -> aggFn(col(column)),
+      "__ec" -> count(lit(1)), "__nn" -> count(col(column)))
+  }
   def validate(resolved: Map[String, Any]): (Boolean, Any) = {
     val v = resolved("observed")
     (BetweenCheck.check(v, BetweenCheck.bound(minValue),
@@ -715,11 +777,19 @@ final case class ExpectColumnMedianToBeBetween(column: String,
     // Exact median, GE semantics (column_median.py:95-140): avg of the two
     // middle values for even counts — Spark's exact `percentile(_, 0.5)`
     // interpolates identically and stays distributed (no driver collect).
-    val row = df.filter(col(column).isNotNull)
-      .agg(percentile(col(column).cast(DoubleType), lit(0.5)).as("m")).head()
+    // element/missing counts ride the same aggregate (reference-shaped
+    // aggregate EVR fields).
+    val row = df.agg(
+      percentile(col(column).cast(DoubleType), lit(0.5)).as("m"),
+      count(lit(1)).as("__ec"), count(col(column)).as("__nn")).head()
     val obs: Any = if (row.isNullAt(0)) null else row.getDouble(0)
+    val ec = row.getAs[Long]("__ec")
+    val mc = ec - row.getAs[Long]("__nn")
     Evr(expectationType, kwargs, BetweenCheck.check(obs, minValue, maxValue),
-      Map("observed_value" -> obs))
+      Map[String, Any]("observed_value" -> obs, "element_count" -> ec,
+        "missing_count" -> mc,
+        "missing_percent" ->
+          (if (ec == 0L) null else mc.toDouble / ec * 100.0)))
   }
 }
 
@@ -750,21 +820,55 @@ final case class ExpectColumnMostCommonValueToBeInSet(column: String,
   val expectationType = "expect_column_most_common_value_to_be_in_set"
   def kwargs = Map("column" -> column, "value_set" -> valueSet)
   def run(df: DataFrame): Evr = {
-    // mode(s): all values sharing the max count (column_most_common_value.py:33-55)
-    val counts = df.filter(col(column).isNotNull).groupBy(col(column))
-      .agg(count(lit(1)).as("n")).orderBy(col("n").desc).limit(100).collect()
-    val modes =
-      if (counts.isEmpty) Seq.empty[Any]
-      else { val m = counts.head.getLong(1); counts.filter(_.getLong(1) == m).map(_.get(0)).toSeq }
+    // mode(s): ALL values sharing the max count (column_most_common_value.py:
+    // 33-55). Fast path: one job collecting the top MaxResultRecords+1
+    // (count desc) — exact whenever the tie set fits (every realistic case).
+    // Only a tie wider than the cap pays two more small jobs for the exact
+    // verdict instead of silently truncating the mode set.
+    val cap = ResultFormat.MaxResultRecords
+    val cdf = df.filter(col(column).isNotNull).groupBy(col(column))
+      .agg(count(lit(1)).as("n"))
+    val top = cdf.orderBy(col("n").desc).limit(cap + 1).collect()
     val set = valueSet.toSet
     // fixture-pinned semantics (expect_column_most_common_value_to_be_in_
     // set.json): ties_okay → ANY mode in the set passes; without it a tie
     // is an outright failure even when every mode is in the set
-    val ok =
-      if (modes.isEmpty) false
-      else if (tiesOkay) modes.exists(set.contains)
-      else modes.size == 1 && set.contains(modes.head)
-    Evr(expectationType, kwargs, ok, Map("observed_value" -> modes))
+    val (ok, modes) =
+      if (top.isEmpty) (false, Seq.empty[Any])
+      else {
+        val m = top.head.getLong(1)
+        val tied = top.filter(_.getLong(1) == m)
+        if (tied.length <= cap) {
+          val ms = tied.map(_.get(0)).toSeq
+          val success =
+            if (tiesOkay) ms.exists(set.contains)
+            else ms.size == 1 && set.contains(ms.head)
+          (success, ms)
+        } else {
+          // tie wider than the driver cap: exact verdict from a distributed
+          // membership aggregate (never collects the full mode set); the
+          // observed list is the capped sample
+          val wantNN = valueSet.filterNot(_ == null).distinct
+          val inSet =
+            if (wantNN.isEmpty) lit(false) else col(column).isin(wantNN: _*)
+          val r = cdf.filter(col("n") === lit(m)).agg(
+            count(lit(1)).as("cnt"),
+            sum(when(inSet, 1L).otherwise(0L)).as("ins")).head()
+          val anyIn = r.getLong(1) > 0L
+          // cnt > cap ⟹ >1 mode, so !tiesOkay is always a failure here
+          (tiesOkay && anyIn, tied.take(cap).map(_.get(0)).toSeq)
+        }
+      }
+    // element/missing counts: reference-shaped aggregate EVR fields
+    val cRow = df.agg(count(lit(1)).as("__ec"),
+      count(col(column)).as("__nn")).head()
+    val ec = cRow.getAs[Long]("__ec")
+    val mc = ec - cRow.getAs[Long]("__nn")
+    Evr(expectationType, kwargs, ok,
+      Map[String, Any]("observed_value" -> modes, "element_count" -> ec,
+        "missing_count" -> mc,
+        "missing_percent" ->
+          (if (ec == 0L) null else mc.toDouble / ec * 100.0)))
   }
 }
 
@@ -861,12 +965,119 @@ object KlMath {
   }
 
   /** success/observed shaping: inf/NaN → observed None (reference
-    * serializes None for non-finite divergences), success = kl ≤ threshold. */
+    * serializes None for non-finite divergences), success = kl ≤ threshold.
+    * threshold = +∞ encodes the reference's `threshold: null` — success is
+    * unconditionally true (profiling mode), even for NaN/∞ divergences. */
   def evr(expectationType: String, kwargs: Map[String, Any], kl: Double,
-      threshold: Double): Evr = {
-    val ok = !kl.isNaN && kl <= threshold
+      threshold: Double, details: Map[String, Any] = Map.empty): Evr = {
+    val ok = threshold.isPosInfinity || (!kl.isNaN && kl <= threshold)
     val obs: Any = if (kl.isNaN || kl.isInfinite) null else kl
-    Evr(expectationType, kwargs, ok, Map("observed_value" -> obs))
+    Evr(expectationType, kwargs, ok,
+      Map[String, Any]("observed_value" -> obs) ++
+        (if (details.isEmpty) Map.empty[String, Any]
+         else Map[String, Any]("details" -> details)))
+  }
+
+  /** Holdout range gate with the reference's pydantic-era message text
+    * (its kwargs schema constrains holdouts with ge=0/le=1; the fixture
+    * corpus pins the "less than or equal to 1" phrasing). */
+  def checkHoldout(name: String, v: Double): Unit = {
+    if (v > 1) throw new IllegalArgumentException(
+      s"$name: input should be less than or equal to 1")
+    if (v < 0) throw new IllegalArgumentException(
+      s"$name: input should be greater than or equal to 0")
+  }
+
+  /** Threshold gate (reference _validate: None allowed = profiling mode;
+    * +∞ is this engine's encoding of None). */
+  def checkThreshold(t: Double): Unit =
+    if (t.isNaN || t < 0) throw new IllegalArgumentException(
+      "Threshold must be specified, greater than or equal to zero.")
+
+  /** Values ordered like the reference's value-sorted value_counts
+    * (numbers numerically, everything else lexicographically). */
+  val valueOrdering: Ordering[Any] = Ordering.fromLessThan { (a, b) =>
+    (a, b) match {
+      case (x: Number, y: Number) => x.doubleValue() < y.doubleValue()
+      case (x, y) => String.valueOf(x) < String.valueOf(y)
+    }
+  }
+
+  /** One-pass histogram aggregate (np.histogram semantics: last bin
+    * right-closed; ±∞ edges compare like any IEEE double) feeding
+    * [[continuousCombine]]. */
+  def continuousResult(df: DataFrame, column: String, binEdges: Seq[Double],
+      binWeights: Seq[Double], tailWeights: Option[(Double, Double)],
+      tailWeightHoldout: Double, internalWeightHoldout: Double)
+      : (Double, Map[String, Any]) = {
+    val c = col(column)
+    val binCols = binWeights.indices.map { i =>
+      val inBin =
+        if (i == binWeights.size - 1) c >= binEdges(i) && c <= binEdges(i + 1)
+        else c >= binEdges(i) && c < binEdges(i + 1)
+      sum(when(c.isNotNull && inBin, 1L).otherwise(0L)).as(s"b$i")
+    }
+    val aggs = binCols ++ Seq(
+      sum(when(c.isNotNull && c < binEdges.head, 1L).otherwise(0L)).as("below"),
+      sum(when(c.isNotNull && c > binEdges.last, 1L).otherwise(0L)).as("above"),
+      count(c).as("nn"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val nn = row.getAs[Long]("nn").toDouble
+    val obsW = binWeights.indices.map(i => row.getAs[Long](s"b$i") / nn)
+    continuousCombine(binEdges, binWeights, tailWeights, tailWeightHoldout,
+      internalWeightHoldout, obsW,
+      row.getAs[Long]("below") / nn, row.getAs[Long]("above") / nn)
+  }
+
+  /** The reference's four endpoint cases (kl_divergence.py:724-860):
+    * infinite endpoints donate their edge bins to the tails; finite
+    * partitions take tails from tail_weights or the split holdout. Returns
+    * (divergence, details) with the observed/expected partition objects. */
+  def continuousCombine(binEdges: Seq[Double], binWeights: Seq[Double],
+      tailWeights: Option[(Double, Double)], tailWeightHoldout: Double,
+      internalWeightHoldout: Double, obsW: Seq[Double],
+      below: Double, above: Double): (Double, Map[String, Any]) = {
+    // expected weights scaled for holdouts; internal holdout spread over
+    // zero-weight bins (kl_divergence.py:706-723)
+    val scaled = binWeights.map(_ *
+      (1 - tailWeightHoldout - internalWeightHoldout))
+    val zeroCount = scaled.count(_ == 0.0)
+    val expW =
+      if (internalWeightHoldout > 0 && zeroCount > 0)
+        scaled.map(w => if (w == 0.0) internalWeightHoldout / zeroCount else w)
+      else scaled
+    val leftInf = binEdges.head.isNegInfinity
+    val rightInf = binEdges.last.isPosInfinity
+    val (expBins, combExp, expTail, expMain, combObs, obsTail, obsMain) =
+      if (leftInf && rightInf)
+        (binEdges.slice(1, binEdges.size - 1),
+          expW, Seq(expW.head, expW.last), expW.slice(1, expW.size - 1),
+          obsW, Seq(obsW.head, obsW.last), obsW.slice(1, obsW.size - 1))
+      else if (leftInf)
+        (binEdges.drop(1),
+          expW :+ tailWeightHoldout, Seq(expW.head, tailWeightHoldout),
+          expW.drop(1),
+          obsW :+ above, Seq(obsW.head, above), obsW.drop(1))
+      else if (rightInf)
+        (binEdges.dropRight(1),
+          tailWeightHoldout +: expW, Seq(tailWeightHoldout, expW.last),
+          expW.dropRight(1),
+          below +: obsW, Seq(below, obsW.last), obsW.dropRight(1))
+      else {
+        val (ce, et) = tailWeights match {
+          case Some((t0, t1)) => (t0 +: expW :+ t1, Seq(t0, t1))
+          case None => ((tailWeightHoldout / 2) +: expW :+ (tailWeightHoldout / 2),
+            Seq(tailWeightHoldout / 2, tailWeightHoldout / 2))
+        }
+        (binEdges, ce, et, expW, below +: obsW :+ above, Seq(below, above), obsW)
+      }
+    val kl = entropy(combObs, combExp)
+    val details = Map[String, Any](
+      "observed_partition" -> Map[String, Any]("bins" -> expBins,
+        "weights" -> obsMain, "tail_weights" -> obsTail),
+      "expected_partition" -> Map[String, Any]("bins" -> expBins,
+        "weights" -> expMain, "tail_weights" -> expTail))
+    (kl, details)
   }
 
   /** Finite-endpoint continuous KL from resolved histogram counts
@@ -901,16 +1112,24 @@ object KlMath {
   * equally among the unexpected values (reference :648-656). */
 final case class ExpectColumnKlDivergenceToBeLessThan(column: String,
     partitionValues: Seq[Any], partitionWeights: Seq[Double], threshold: Double,
-    tailWeightHoldout: Double = 0.0,
+    tailWeightHoldout: Double = 0.0, internalWeightHoldout: Double = 0.0,
     override val rowCondition: Option[String] = None) extends ValueExpectation {
-  require(tailWeightHoldout >= 0 && tailWeightHoldout <= 1,
-    "tail_weight_holdout must be between zero and one")
   val expectationType = "expect_column_kl_divergence_to_be_less_than"
   def kwargs = Map("column" -> column, "threshold" -> threshold)
   /** Canonical match key — see KlMath.keyOf: String.valueOf would keep
     * "1.0" and "1" apart and drive the divergence to a spurious +∞. */
   private def keyOf(v: Any): String = KlMath.keyOf(v)
   def run(df: DataFrame): Evr = {
+    // validation mirrors the reference's _validate order (kl_divergence.py:
+    // 601-628); failures surface as this expectation's exception EVR
+    KlMath.checkHoldout("tail_weight_holdout", tailWeightHoldout)
+    KlMath.checkHoldout("internal_weight_holdout", internalWeightHoldout)
+    if (partitionValues.size != partitionWeights.size ||
+        math.abs(partitionWeights.sum - 1.0) > 1e-8)
+      throw new IllegalArgumentException("Invalid partition object.")
+    KlMath.checkThreshold(threshold)
+    if (internalWeightHoldout > 0) throw new IllegalArgumentException(
+      "Internal weight holdout cannot be used for discrete data.")
     // categorical KL is driver-side arithmetic over the value histogram by
     // nature (as in the reference) — but a high-cardinality column must
     // fail LOUDLY instead of OOMing the driver with an uncapped collect
@@ -922,11 +1141,18 @@ final case class ExpectColumnKlDivergenceToBeLessThan(column: String,
         s"${KlMath.MaxCategories} distinct values — use the continuous " +
         "(binned) form for high-cardinality columns")
     val counts = rows.map(r => keyOf(r.get(0)) -> r.getLong(1)).toMap
+    val nonnull = rows.map(_.getLong(1)).sum.toDouble
     val expectedW = partitionValues.map(keyOf).zip(partitionWeights).toMap
-    val unexpected = counts.keySet.diff(expectedW.keySet).toSeq.sorted
+    // observed values outside the partition, in value order (the
+    // reference's value-sorted value_counts index)
+    val origOf = rows.map(r => keyOf(r.get(0)) -> r.get(0)).toMap
+    val unexpected = counts.keySet.diff(expectedW.keySet).toSeq
+      .sortBy(origOf)(KlMath.valueOrdering)
     // union index, expected-first like the reference's concat
     val index = partitionValues.map(keyOf) ++ unexpected
-    val pk = index.map(v => counts.getOrElse(v, 0L).toDouble)
+    val indexValues = partitionValues ++ unexpected.map(origOf)
+    val pk = index.map(v =>
+      if (nonnull == 0) 0.0 else counts.getOrElse(v, 0L) / nonnull)
     val qk =
       if (unexpected.isEmpty) index.map(expectedW)
       else {
@@ -934,7 +1160,13 @@ final case class ExpectColumnKlDivergenceToBeLessThan(column: String,
         index.map(v => expectedW.get(v).map(_ * (1 - tailWeightHoldout))
           .getOrElse(fill))
       }
-    KlMath.evr(expectationType, kwargs, KlMath.entropy(pk, qk), threshold)
+    val details = Map[String, Any](
+      "observed_partition" -> Map[String, Any](
+        "values" -> indexValues, "weights" -> pk),
+      "expected_partition" -> Map[String, Any](
+        "values" -> indexValues, "weights" -> qk))
+    KlMath.evr(expectationType, kwargs, KlMath.entropy(pk, qk), threshold,
+      details)
   }
 }
 
@@ -948,8 +1180,10 @@ final case class ExpectTableRowCountToEqualOtherTable(
   def run(df: DataFrame): Evr = {
     val n = df.count()
     val m = other.count()
+    // observed_value is the {self, other} dict, as the reference reports it
+    // (expect_table_row_count_to_equal_other_table.json fixtures)
     Evr(expectationType, kwargs, n == m,
-      Map("observed_value" -> n, "other_table_row_count" -> m))
+      Map("observed_value" -> Map("self" -> n, "other" -> m)))
   }
 }
 
@@ -967,36 +1201,41 @@ final case class ExpectTableRowCountToEqualOtherTable(
 final case class ExpectColumnKlDivergenceContinuousToBeLessThan(column: String,
     binEdges: Seq[Double], binWeights: Seq[Double], threshold: Double,
     tailWeightHoldout: Double = 0.0, internalWeightHoldout: Double = 0.0,
+    tailWeights: Option[(Double, Double)] = None,
     override val rowCondition: Option[String] = None) extends ValueExpectation {
-  require(binEdges.size == binWeights.size + 1, "need |edges| = |weights| + 1")
-  require(tailWeightHoldout >= 0 && tailWeightHoldout <= 1,
-    "tail_weight_holdout must be between zero and one")
-  require(internalWeightHoldout >= 0 && internalWeightHoldout <= 1,
-    "internal_weight_holdout must be between zero and one")
   val expectationType = "expect_column_kl_divergence_to_be_less_than"
   def kwargs = Map("column" -> column, "threshold" -> threshold,
     "partition" -> "continuous")
+
+  private def invalidPartition(): Boolean =
+    binEdges.size < 2 || binEdges.size != binWeights.size + 1 ||
+      binEdges.sliding(2).exists(p => !(p(1) > p.head)) ||
+      math.abs(binWeights.sum +
+        tailWeights.map(t => t._1 + t._2).getOrElse(0.0) - 1.0) > 1e-8
+
   def run(df: DataFrame): Evr = {
-    val c = col(column)
-    // ONE aggregate: per-bin counts (np.histogram semantics: last bin
-    // right-closed) + below/above tail counts + nonnull count
-    val binCols = binWeights.indices.map { i =>
-      val inBin =
-        if (i == binWeights.size - 1) c >= binEdges(i) && c <= binEdges(i + 1)
-        else c >= binEdges(i) && c < binEdges(i + 1)
-      sum(when(c.isNotNull && inBin, 1L).otherwise(0L)).as(s"b$i")
-    }
-    val aggs = binCols ++ Seq(
-      sum(when(c.isNotNull && c < binEdges.head, 1L).otherwise(0L)).as("below"),
-      sum(when(c.isNotNull && c > binEdges.last, 1L).otherwise(0L)).as("above"),
-      count(c).as("nn"))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val counts = binWeights.indices.map(i => row.getAs[Long](s"b$i"))
-    val kl = KlMath.continuousFromCounts(counts,
-      row.getAs[Long]("below"), row.getAs[Long]("above"),
-      row.getAs[Long]("nn"), binWeights,
-      tailWeightHoldout, internalWeightHoldout)
-    KlMath.evr(expectationType, kwargs, kl, threshold)
+    // validation mirrors the reference's _validate order (kl_divergence.py:
+    // 601-795); messages are pinned by the fixture corpus
+    KlMath.checkHoldout("tail_weight_holdout", tailWeightHoldout)
+    KlMath.checkHoldout("internal_weight_holdout", internalWeightHoldout)
+    if (invalidPartition())
+      throw new IllegalArgumentException("Invalid partition object.")
+    KlMath.checkThreshold(threshold)
+    if (tailWeightHoldout != 0 && tailWeights.isDefined)
+      throw new IllegalArgumentException(
+        "tail_weight_holdout must be 0 when using tail_weights in partition object")
+    val leftInf = binEdges.head.isNegInfinity
+    val rightInf = binEdges.last.isPosInfinity
+    if (leftInf && rightInf && tailWeightHoldout > 0)
+      throw new IllegalArgumentException(
+        "tail_weight_holdout cannot be used for partitions with infinite endpoints.")
+    if ((leftInf || rightInf) && tailWeights.isDefined)
+      throw new IllegalArgumentException(
+        "There can be no tail weights for partitions with one or both endpoints at infinity")
+
+    val (kl, details) = KlMath.continuousResult(df, column, binEdges,
+      binWeights, tailWeights, tailWeightHoldout, internalWeightHoldout)
+    KlMath.evr(expectationType, kwargs, kl, threshold, details)
   }
 }
 
@@ -1105,6 +1344,14 @@ final case class ExpectColumnKlDivergenceAutoToBeLessThan(column: String,
   def kwargs = Map("column" -> column, "threshold" -> threshold,
     "partition" -> s"auto:$bins")
   def run(df: DataFrame): Evr = {
+    KlMath.checkHoldout("tail_weight_holdout", tailWeightHoldout)
+    KlMath.checkHoldout("internal_weight_holdout", internalWeightHoldout)
+    KlMath.checkThreshold(threshold)
+    // the reference's auto-built partition carries tail_weights =
+    // (1-Σweights)/2, so a non-zero tail holdout is rejected exactly as a
+    // user-supplied tail_weights partition would be (kl_divergence.py:621)
+    if (tailWeightHoldout != 0) throw new IllegalArgumentException(
+      "tail_weight_holdout must be 0 when using tail_weights in partition object")
     val edges = ColumnPartition.compute(df, column, bins, nBins)
     val c = col(column)
     val n = edges.size - 1
@@ -1122,13 +1369,14 @@ final case class ExpectColumnKlDivergenceAutoToBeLessThan(column: String,
       sum(when(c.isNotNull && c > edges.last, 1L).otherwise(0L)).as("above"),
       count(c).as("nn"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val nonnull = row.getAs[Long]("nn")
-    val counts = (0 until n).map(i => row.getAs[Long](s"b$i"))
-    val weights = counts.map(_.toDouble / nonnull)
-    val kl = KlMath.continuousFromCounts(counts,
-      row.getAs[Long]("below"), row.getAs[Long]("above"), nonnull, weights,
-      tailWeightHoldout, internalWeightHoldout)
-    KlMath.evr(expectationType, kwargs, kl, threshold)
+    val nonnull = row.getAs[Long]("nn").toDouble
+    val weights = (0 until n).map(i => row.getAs[Long](s"b$i") / nonnull)
+    val tw = (1 - weights.sum) / 2
+    val (kl, details) = KlMath.continuousCombine(edges, weights,
+      Some((tw, tw)), 0.0, internalWeightHoldout, obsW = weights,
+      below = row.getAs[Long]("below") / nonnull,
+      above = row.getAs[Long]("above") / nonnull)
+    KlMath.evr(expectationType, kwargs, kl, threshold, details)
   }
 }
 
@@ -1516,13 +1764,15 @@ final case class ExpectColumnValuesToBeOfType(column: String, typeName: String)
   }
 }
 
-final case class ExpectColumnValuesToBeInTypeList(column: String, typeList: Seq[String])
-    extends SchemaExpectation {
+final case class ExpectColumnValuesToBeInTypeList(column: String, typeList: Seq[String],
+    universalList: Boolean = false) extends SchemaExpectation {
   val expectationType = "expect_column_values_to_be_in_type_list"
   def kwargs = Map("column" -> column, "type_list" -> typeList)
   def run(schema: StructType): Evr = {
     val actual = schema.find(_.name == column).map(_.dataType.getClass.getSimpleName)
-    val ok = actual.exists(a => typeList.exists(t =>
+    // type_list = None in the reference is the UNIVERSAL list: vacuous
+    // success with the observed type still reported
+    val ok = universalList || actual.exists(a => typeList.exists(t =>
       a.equalsIgnoreCase(t) || a.equalsIgnoreCase(t + "$")))
     Evr(expectationType, kwargs, ok, Map("observed_value" -> actual.orNull))
   }

@@ -136,7 +136,9 @@ final class SuiteRunner(
         e.run(e.rowCondition.map(df.filter).getOrElse(df))))): Unit
     }
 
-    SuiteRunner.awaitAll(domainJobs ++ valueJobs)
+    // value jobs are leaves (one Spark action each) → permit-bounded;
+    // domain jobs are parents (they submit their own leaf batch)
+    SuiteRunner.awaitAll(domainJobs ++ valueJobs.map(SuiteRunner.leafJob))
     valueExps.foreach { case (e, i) => record(i, valueMemo.get(e)) }
 
     // -- query expectations (memoized like value expectations) ----------------
@@ -171,10 +173,16 @@ final class SuiteRunner(
               collect_limited(rowStr, MaxResultRecords).as("__rows")).head()
             val total = r.getLong(0)
             val rows = r.getAs[scala.collection.Seq[String]](1)
+            // reference shape (unexpected_rows_expectation.py:142-152):
+            // observed_value is the human-formatted count string, rows live
+            // under details.unexpected_rows; the raw count rides
+            // unexpected_count for programmatic/oracle use
             Evr(e.expectationType, e.kwargs, total == 0L, Map(
-              "observed_value" -> total,
-              "unexpected_rows" -> rows.take(resultFormat.partialUnexpectedCount)
-                .toSeq))
+              "observed_value" ->
+                s"$total unexpected ${if (total == 1L) "row" else "rows"}",
+              "unexpected_count" -> total,
+              "details" -> Map("unexpected_rows" ->
+                rows.take(resultFormat.partialUnexpectedCount).toSeq)))
           } finally df.sparkSession.catalog.dropTempView(view)
         })))
       case _ =>
@@ -226,7 +234,13 @@ final class SuiteRunner(
       val err: Option[Throwable] =
         if (miss.nonEmpty) Some(new IllegalArgumentException(
           s"column(s) not found: ${miss.mkString(", ")}"))
-        else buildError(e)
+        else (e match {
+          case m: MapExpectation => m.schemaError(domainDf.schema)
+            .map(msg => new IllegalArgumentException(msg): Throwable)
+          case a: AggExpectation => a.schemaError(domainDf.schema)
+            .map(msg => new IllegalArgumentException(msg): Throwable)
+          case _ => None
+        }).orElse(buildError(e))
       (e, i, err)
     }
     probed.foreach { case (_, i, err) =>
@@ -304,7 +318,7 @@ final class SuiteRunner(
             runMapAggBatch(domainDf, Seq((e, i)), Nil, unexpectedCond, record)
         }
       }
-    SuiteRunner.awaitAll(jobs)
+    SuiteRunner.awaitAll(jobs.map(SuiteRunner.leafJob))
   }
 
   /** Uniqueness via groupBy(keys).count: semantically identical to the
@@ -410,7 +424,12 @@ final class SuiteRunner(
   /** Deferred sample pass: collect_limited value/index samples for ONLY the
     * expectations whose fused counts showed unexpected rows. The projection
     * selects just the referenced columns (parquet-pruned), and the
-    * ObjectHashAggregate this forces exists only on the failure path. */
+    * ObjectHashAggregate this forces exists only on the failure path.
+    *
+    * Consistency note: counts come from the fused scan, samples from this
+    * second scan — on a nondeterministic source (unstable sampling, a view
+    * over mutating data) the two can disagree; the counts are
+    * authoritative. */
   private def sampleRow(domainDf: DataFrame,
       toSample: Seq[MapExpectation],
       unexpectedCond: MapExpectation => Column,
@@ -421,11 +440,14 @@ final class SuiteRunner(
     val projCols = mutable.ArrayBuffer.empty[Column]
     toSample.zipWithIndex.foreach { case (e, j) =>
       projCols += unexpectedCond(e).as(s"__u$j")
-      // coalesce: a NULL unexpected VALUE (e.g. to_not_be_null's unexpected
-      // rows) must still occupy its list slot, as the reference's
-      // partial_unexpected_list carries None entries
+      // coalesce to the NUL-framed sentinel: a NULL unexpected VALUE (e.g.
+      // to_not_be_null's unexpected rows) must still occupy its list slot;
+      // the sentinel maps back to a real null at EVR build, so it cannot
+      // collide with a column whose actual value is the string "null"
+      // (NUL bytes never survive the engine's string sources)
       if (collectValues)
-        projCols += coalesce(e.unexpectedValue, lit("null")).as(s"__v$j")
+        projCols += coalesce(e.unexpectedValue,
+          lit(SuiteRunner.NullSentinel)).as(s"__v$j")
       if (collectIndexes)
         projCols += to_json(struct(indexColumns.map(col): _*)).as(s"__ix$j")
     }
@@ -477,7 +499,9 @@ final class SuiteRunner(
               case Some(j) =>
                 val s = sampleT.get // a sample failure fails only samplers
                 (if (collectValues)
-                  s.getAs[scala.collection.Seq[String]](s"__uv$j").toSeq else Nil,
+                  s.getAs[scala.collection.Seq[String]](s"__uv$j").toSeq
+                    .map(v => if (v == SuiteRunner.NullSentinel) null else v)
+                 else Nil,
                  if (collectIndexes)
                   s.getAs[scala.collection.Seq[String]](s"__uix$j").toSeq else Nil)
             }
@@ -490,7 +514,20 @@ final class SuiteRunner(
               name -> row.getAs[Any](resolveAlias((i, name)))
             }.toMap
             val (ok, obs) = e.validate(resolved)
-            Evr(e.expectationType, e.kwargs, ok, Map("observed_value" -> obs))
+            // column-aggregate EVRs carry element/missing counts like the
+            // reference's (expectation.py aggregate result shape); the counts
+            // ride the fused pass via the dedup'd __ec/__nn aggregates
+            val extra = (resolved.get("__ec"), resolved.get("__nn")) match {
+              case (Some(ec: Long), Some(nn: Long))
+                  if resultFormat.rank >= Basic.rank =>
+                Map[String, Any]("element_count" -> ec,
+                  "missing_count" -> (ec - nn),
+                  "missing_percent" ->
+                    (if (ec == 0L) null else (ec - nn).toDouble / ec * 100.0))
+              case _ => Map.empty[String, Any]
+            }
+            Evr(e.expectationType, e.kwargs, ok,
+              Map("observed_value" -> obs) ++ extra)
           })
         }
     }
@@ -524,9 +561,10 @@ final class SuiteRunner(
       if (resultFormat.rank < Summary.rank) Map.empty[String, Any]
       else {
         // Counter(...).most_common with (-count, value) tie-break
-        // (expectation.py:2714-2721)
+        // (expectation.py:2714-2721); null entries (restored from the
+        // sample sentinel) sort as the empty string
         val counts = values.groupBy(identity).view.mapValues(_.size).toSeq
-          .sortBy { case (v, c) => (-c, v) }
+          .sortBy { case (v, c) => (-c, if (v == null) "" else v) }
           .take(partialCap)
           .map { case (v, c) => Map("value" -> v, "count" -> c) }
         (if (resultFormat.excludeUnexpectedValues) Map.empty[String, Any]
@@ -559,18 +597,44 @@ final class SuiteRunner(
 object SuiteRunner {
   /** validation_graph.py:48 MAX_METRIC_COMPUTATION_RETRIES = 3. */
   val MaxAttempts = 3
+
+  /** NUL-framed marker for a null unexpected value riding collect_limited
+    * (which drops real nulls); mapped back to null at EVR build. */
+  private[core] val NullSentinel = "\u0000\u0000graft:null\u0000\u0000"
   private[core] val log = org.slf4j.LoggerFactory.getLogger(classOf[SuiteRunner])
 
   /** Shared daemon pool for concurrent metric-job SUBMISSION. Threads here
     * only drive Spark actions (the work itself runs on executors), so a
     * cached pool is safe; jobs nest (runAll → runFusedDomain), hence no
-    * fixed bound that could deadlock a parent waiting on its children. */
+    * fixed THREAD bound that could deadlock a parent waiting on its
+    * children. Backpressure comes from [[jobPermits]] instead: LEAF jobs
+    * (the ones that actually run Spark actions) acquire a permit, parent
+    * jobs never hold one — a checkpoint batching hundreds of suites queues
+    * beyond `maxConcurrentJobs` in-flight actions instead of flooding the
+    * scheduler and driver with unbounded simultaneous jobs. */
   private[core] lazy val jobPool =
     java.util.concurrent.Executors.newCachedThreadPool(r => {
       val t = new Thread(r, "graft-metric-job")
       t.setDaemon(true)
       t
     })
+
+  /** Cap on concurrently-RUNNING leaf metric jobs (override with
+    * -Dgraft.maxConcurrentJobs=N). Default: 2× cores, floor 8 — enough to
+    * keep a local[32] scheduler saturated, bounded for a 1000-suite batch. */
+  private[core] val maxConcurrentJobs: Int =
+    sys.props.get("graft.maxConcurrentJobs").flatMap(_.toIntOption)
+      .getOrElse(math.max(8, 2 * Runtime.getRuntime.availableProcessors()))
+  private val jobPermits =
+    new java.util.concurrent.Semaphore(maxConcurrentJobs)
+
+  /** Wrap a leaf thunk with permit backpressure. Only leaves acquire, so
+    * the nested-submission pattern (domain job → window jobs) cannot
+    * deadlock on exhausted permits. */
+  private[core] def leafJob(f: () => Unit): () => Unit = () => {
+    jobPermits.acquire()
+    try f() finally jobPermits.release()
+  }
 
   /** Run the thunks concurrently, wait for all, rethrow the first failure
     * (after every job has finished — matching the serial form's guarantee
@@ -644,12 +708,24 @@ object Graft {
         case Some(v: Number) => v.longValue()
         case _ => null
       }
+      // count columns describe the MAP-expectation row shape; aggregate EVRs
+      // also carry element/missing counts (reference parity) but this compact
+      // projection keeps them NULL there for a stable oracle-friendly schema
+      val isMap = e.result.contains("unexpected_count")
       val obs: Any = e.result.get("observed_value") match {
         case Some(v: Number) => v.doubleValue()
+        // dict-shaped observed (row_count_to_equal_other_table) → self count
+        case Some(m: Map[_, _]) =>
+          m.asInstanceOf[Map[String, Any]].get("self") match {
+            case Some(v: Number) => v.doubleValue()
+            case _ => null
+          }
         case _ => null
       }
-      Row(e.expectationType, domain, e.success, longOf("element_count"),
-        longOf("missing_count"), longOf("unexpected_count"), obs)
+      Row(e.expectationType, domain, e.success,
+        if (isMap) longOf("element_count") else null,
+        if (isMap) longOf("missing_count") else null,
+        longOf("unexpected_count"), obs)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)

@@ -17,7 +17,12 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * the same isolation the reference applies per expectation. */
 object SuiteJson {
 
-  private val mapper = new ObjectMapper()
+  // ±Infinity literals appear in continuous partition_object bins (the
+  // reference serializes numpy ±inf bare); standard JSON forbids them, so
+  // opt in to Jackson's non-numeric-number extension
+  private val mapper = new ObjectMapper().configure(
+    com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS,
+    true)
 
   def fromJson(json: String): Suite = {
     val root = mapper.readTree(json)
@@ -92,15 +97,29 @@ object SuiteJson {
     def dbl(name: String, default: Double): Double =
       num(name).getOrElse(default)
     def dblOpt(name: String): Option[Double] = num(name)
-    def intOpt(name: String): Option[Int] = num(name).map(_.toInt)
+    /** Strict integer read with the reference's (pydantic) "is not a valid
+      * integer" phrasing for non-numeric text. */
+    def intOpt(name: String): Option[Int] = scalar(name).map { n =>
+      if (n.isNumber) n.intValue()
+      else if (n.isTextual)
+        try n.asText().trim.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"'$name' value '${n.asText()}' is not a valid integer")
+        }
+      else throw new IllegalArgumentException(s"'$name' is not a valid integer")
+    }
     def bool(name: String, default: Boolean): Boolean =
       scalar(name).map(_.asBoolean()).getOrElse(default)
     def mostly: Double = {
       val m = dbl("mostly", 1.0)
-      // expectation.py validates mostly ∈ [0,1]; out-of-range must load as
+      // expectation.py validates mostly ∈ [0,1] (pydantic ge=0/le=1, whose
+      // message text the fixture corpus pins); out-of-range must load as
       // an InvalidExpectation (error EVR), not evaluate vacuously
-      if (m < 0.0 || m > 1.0) throw new IllegalArgumentException(
-        s"mostly must be between 0 and 1 (got $m)")
+      if (m > 1.0) throw new IllegalArgumentException(
+        s"mostly: input should be less than or equal to 1 (got $m)")
+      if (m < 0.0) throw new IllegalArgumentException(
+        s"mostly: input should be greater than or equal to 0 (got $m)")
       m
     }
     /** row_condition honoring condition_parser: "great_expectations*"
@@ -292,8 +311,7 @@ object SuiteJson {
       ExpectTableRowCountToBeBetween(kw.anyOpt("min_value"),
         kw.anyOpt("max_value"), kw.rowCondition)
     case "expect_table_row_count_to_equal" =>
-      ExpectTableRowCountToEqual(kw.anyOpt("value").get.asInstanceOf[Number]
-        .longValue(), kw.rowCondition)
+      ExpectTableRowCountToEqual(kw.intOpt("value").get.toLong, kw.rowCondition)
     case "expect_column_median_to_be_between" =>
       ExpectColumnMedianToBeBetween(kw.str("column"), kw.dblOpt("min_value"),
         kw.dblOpt("max_value"), kw.rowCondition)
@@ -333,16 +351,27 @@ object SuiteJson {
             kw.intOpt("n_bins").getOrElse(10),
             tailWeightHoldout = tail, internalWeightHoldout = internal,
             rowCondition = kw.rowCondition)
-        case Some(p) if p.has("bins") =>
+        case Some(p) if p.has("bins") && p.has("weights") =>
           val bins = p.get("bins").elements().asScala.map(_.asDouble()).toSeq
           val weights = p.get("weights").elements().asScala.map(_.asDouble()).toSeq
+          val tw = Option(p.get("tail_weights")).filterNot(_.isNull).map { n =>
+            val t = n.elements().asScala.map(_.asDouble()).toSeq
+            if (t.size != 2) throw new IllegalArgumentException(
+              "Invalid partition object.")
+            (t.head, t(1))
+          }
           ExpectColumnKlDivergenceContinuousToBeLessThan(kw.str("column"),
-            bins, weights, threshold, tail, internal, kw.rowCondition)
-        case Some(p) =>
+            bins, weights, threshold, tail, internal, tw, kw.rowCondition)
+        case Some(p) if p.has("values") && p.has("weights") =>
           val values = p.get("values").elements().asScala.map(value).toSeq
           val weights = p.get("weights").elements().asScala.map(_.asDouble()).toSeq
           ExpectColumnKlDivergenceToBeLessThan(kw.str("column"), values, weights,
-            threshold, tail, kw.rowCondition)
+            threshold, tail, internal, kw.rowCondition)
+        case Some(_) =>
+          // shape-invalid partition (e.g. {}) — the reference raises
+          // "Invalid partition object." at validation time
+          InvalidExpectation(tp, Map("kwargs" -> kwNode.toString),
+            "Invalid partition object.")
       }
     // --- distributional hypothesis tests -----------------------------------------
     case "expect_column_chisquare_test_p_value_to_be_greater_than" =>
@@ -413,7 +442,10 @@ object SuiteJson {
     case "expect_column_values_to_be_of_type" =>
       ExpectColumnValuesToBeOfType(kw.str("column"), kw.str("type_"))
     case "expect_column_values_to_be_in_type_list" =>
-      ExpectColumnValuesToBeInTypeList(kw.str("column"), kw.strSeq("type_list"))
+      // type_list null = universal (vacuous pass), like column_list above
+      ExpectColumnValuesToBeInTypeList(kw.str("column"),
+        if (kw.isMissingOrNull("type_list")) Nil else kw.strSeq("type_list"),
+        universalList = kw.isMissingOrNull("type_list"))
     case "expect_table_column_count_to_be_between" =>
       ExpectTableColumnCountToBeBetween(kw.intOpt("min_value"), kw.intOpt("max_value"))
     case "expect_table_column_count_to_equal" =>

@@ -232,12 +232,14 @@ object SuiteWriter {
         "partition_object" -> Map("values" -> x.partitionValues.map(slot),
           "weights" -> x.partitionWeights),
         "threshold" -> x.threshold,
-        "tail_weight_holdout" -> x.tailWeightHoldout) ++
+        "tail_weight_holdout" -> x.tailWeightHoldout,
+        "internal_weight_holdout" -> x.internalWeightHoldout) ++
         rcKw(x.rowCondition): _*)
     case x: ExpectColumnKlDivergenceContinuousToBeLessThan =>
       base(x.expectationType, Seq("column" -> x.column,
-        "partition_object" -> Map("bins" -> x.binEdges,
-          "weights" -> x.binWeights),
+        "partition_object" -> (Map[String, Any]("bins" -> x.binEdges,
+          "weights" -> x.binWeights) ++
+          x.tailWeights.map(t => "tail_weights" -> Seq(t._1, t._2))),
         "threshold" -> x.threshold,
         "tail_weight_holdout" -> x.tailWeightHoldout,
         "internal_weight_holdout" -> x.internalWeightHoldout) ++

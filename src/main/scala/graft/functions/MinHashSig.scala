@@ -112,6 +112,7 @@ private[functions] object MinHashCore {
   }
 
   def bandsArray(v: UTF8String, k: Int, bands: Int, n: Int): GenericArrayData = {
+    MinHashSig.bandsCalls.incrementAndGet()
     val text = if (v == null) "" else v.toString
     val rowsPerBand = k / bands
     val sig = signature(shingleSet(text, n), k)
@@ -233,6 +234,9 @@ case class Shingles(child: Expression, n: Int = 3)
 
 object MinHashSig {
   import org.apache.spark.sql.graftshim.Shims
+  /** Test hook: per-row band-kernel invocations (DedupSpec asserts the LSH
+    * pipeline evaluates the kernel once per document, not once per pass). */
+  val bandsCalls = new java.util.concurrent.atomic.AtomicLong
   def minhash_sig(c: Column, k: Int): Column =
     Shims.toColumn(MinHashSig(Shims.toExpression(c), k))
   def minhash_bands(c: Column, k: Int, bands: Int): Column =

@@ -44,7 +44,7 @@ object Dedup {
     array((0 until k).map(j =>
       array_min(transform(shinglesCol, s => md5(concat(lit(s"$j:"), s))))): _*)
 
-  import Lsh.{LshStats, capBuckets}
+  import Lsh.LshStats
 
   /** MinHash LSH near-duplicate pairs with exact n-gram-Jaccard
     * verification. k hashes split into `bands` bands; docs sharing any
@@ -67,13 +67,19 @@ object Dedup {
     val exploded = df.select(col(idCol).as("doc"),
       posexplode(graft.functions.MinHashSig.minhash_bands(col(textCol), k, bands))
         .as(Seq("band_idx", "band_key")))
-    val (capped, stats) = capBuckets(exploded, maxBucket)
-    val a = capped.select(col("doc").as("doc_a"), col("band_idx"), col("band_key"))
-    val b = capped.select(col("doc").as("doc_b"), col("band_idx"), col("band_key"))
-    val cand = a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
+    // Single kernel evaluation under the default cap: the narrow
+    // (doc, band_idx, band_key) projection is cached for the census +
+    // candidate anti-join, candidates are pinned with an eager
+    // localCheckpoint, and the cache is released (blocking) before
+    // returning — the MinHash kernel runs once per document total.
+    val (cand, stats) = Lsh.withCappedBuckets(exploded, maxBucket, "minhashLshPairs") { capped =>
+      val a = capped.select(col("doc").as("doc_a"), col("band_idx"), col("band_key"))
+      val b = capped.select(col("doc").as("doc_b"), col("band_idx"), col("band_key"))
+      a.join(b, Seq("band_idx", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates("doc_a", "doc_b")
+    }
     // verification: join the (id, shingles) table back once per side; the
     // intersection is aliased ONCE so Catalyst evaluates it once per pair
     val sh = df.select(col(idCol).as("__sid"),
@@ -135,8 +141,15 @@ object Dedup {
   private val SimhashBits = 60
 
   /** SimHash fingerprint over word tokens: bit i of the fingerprint is the
-    * majority vote of bit i across token hashes. */
-  def simhash(textCol: Column): Column = {
+    * majority vote of bit i across token hashes. Native single-pass kernel
+    * (graft.functions.SimHashCore) — one digest per token, no 120-reference
+    * Column forest over the tokenized array. */
+  def simhash(textCol: Column): Column =
+    graft.functions.SimHashSig.simhash_sig(textCol)
+
+  /** The equivalent Column formulation, kept as the executable spec the
+    * native kernel is tested against (DedupSpec equivalence case). */
+  private[graft] def simhashColumnForm(textCol: Column): Column = {
     val hs = transform(split(normText(textCol), " "), w => tokenHash60(w))
     val n = size(hs)
     (0 until SimhashBits).map { i =>
@@ -160,18 +173,20 @@ object Dedup {
       shiftright(col("fp"), b * 15).bitwiseAND(lit(32767L))): _*)
     val exploded = withFp.select(col("doc"), col("fp"),
       posexplode(bandKeys).as(Seq("band_idx", "band_key")))
-    val (capped, stats) = capBuckets(exploded, maxBucket)
-    val a = capped.select(col("doc").as("doc_a"), col("fp").as("fp_a"),
-      col("band_idx"), col("band_key"))
-    val b = capped.select(col("doc").as("doc_b"), col("fp").as("fp_b"),
-      col("band_idx"), col("band_key"))
-    val pairs = a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming").cast(IntegerType).as("hamming"))
-    (pairs, stats)
+    // see minhashLshPairsWithStats: cache + eager checkpoint ⇒ the SimHash
+    // kernel runs once per document even when the cap census engages
+    Lsh.withCappedBuckets(exploded, maxBucket, "simhashPairs") { capped =>
+      val a = capped.select(col("doc").as("doc_a"), col("fp").as("fp_a"),
+        col("band_idx"), col("band_key"))
+      val b = capped.select(col("doc").as("doc_b"), col("fp").as("fp_b"),
+        col("band_idx"), col("band_key"))
+      a.join(b, Seq("band_idx", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast(IntegerType).as("hamming"))
+    }
   }
 
   /** Connected components over a near-dup pair list → (id, cluster) with

@@ -32,7 +32,27 @@ object Lsh {
     * collapsed), and the drop is counted + logged. The bucket census
     * shuffles only (band_idx, band_key) pairs; the hot-key set is tiny by
     * construction (≤ rows/maxBucket keys) and broadcast to the anti-join. */
-  def capBuckets(exploded: DataFrame, maxBucket: Int): (DataFrame, LshStats) = {
+  /** Run `body` over the capped band table with a SINGLE evaluation of the
+    * (expensive) band-key kernel: the narrow exploded projection is cached,
+    * the census job populates the cache, the anti-join and `body` read from
+    * it, and the result is pinned with an eager localCheckpoint before the
+    * cache is released (blocking). Under maxBucket = ∞ nothing is cached
+    * and the result stays lazy (the exhaustive/oracle path, unchanged). */
+  def withCappedBuckets(exploded: DataFrame, maxBucket: Int,
+      op: String = "lsh")(
+      body: DataFrame => DataFrame): (DataFrame, LshStats) =
+    if (maxBucket == Int.MaxValue) (body(exploded), LshStats(0L, 0L))
+    else {
+      val cached = exploded.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val (capped, stats) = capBuckets(cached, maxBucket, op)
+        (body(capped).localCheckpoint(), stats)
+      } finally cached.unpersist(blocking = true)
+    }
+
+  def capBuckets(exploded: DataFrame, maxBucket: Int,
+      op: String = "lsh"): (DataFrame, LshStats) = {
     if (maxBucket == Int.MaxValue) (exploded, LshStats(0L, 0L))
     else {
       // hot-key census: tiny by construction (≤ rows/maxBucket keys — the
@@ -46,8 +66,12 @@ object Lsh {
       val stats = LshStats(hotRows.length.toLong, hotRows.map(_.getLong(2)).sum)
       if (stats.droppedBuckets == 0) (exploded, stats)
       else {
-        log.warn(s"LSH bucket cap $maxBucket dropped ${stats.droppedBuckets} " +
-          s"hot buckets (${stats.droppedRows} rows) from candidate generation")
+        // default-on cap visibility: the WithStats entry points carry these
+        // counts in their return value; pairs-only callers get this
+        // operator-labeled warning as the drop record
+        log.warn(s"$op: bucket cap $maxBucket dropped ${stats.droppedBuckets} " +
+          s"hot buckets (${stats.droppedRows} rows) from candidate generation " +
+          "— use the *WithStats entry point to consume these counts")
         val spark = exploded.sparkSession
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("band_idx",

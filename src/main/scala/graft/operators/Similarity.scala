@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
-import Lsh.{LshStats, capBuckets}
+import Lsh.LshStats
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (Array[Float]).
@@ -119,14 +119,18 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       bands: Int = 4, bits: Int = 8,
       maxBucket: Int = Lsh.DefaultMaxBucket): (DataFrame, LshStats) = {
-    val (cb, stats) = capBuckets(bandTable(corpus, idCol, vecCol, bands, bits), maxBucket)
-    val qb = bandTable(queries, idCol, vecCol, bands, bits)
-      .toDF("query_id", "band_idx", "band_key")
-    val cand = cb.select(col("doc").as("neighbor_id"), col("band_idx"), col("band_key"))
-      .join(broadcast(qb), Seq("band_idx", "band_key"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id")
-      .dropDuplicates("query_id", "neighbor_id")
+    // single band-kernel evaluation under the default cap (see
+    // Lsh.withCappedBuckets): cache for census + join, checkpoint ids
+    val (cand, stats) = Lsh.withCappedBuckets(
+      bandTable(corpus, idCol, vecCol, bands, bits), maxBucket, "lshTopK") { cb =>
+      val qb = bandTable(queries, idCol, vecCol, bands, bits)
+        .toDF("query_id", "band_idx", "band_key")
+      cb.select(col("doc").as("neighbor_id"), col("band_idx"), col("band_key"))
+        .join(broadcast(qb), Seq("band_idx", "band_key"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates("query_id", "neighbor_id")
+    }
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       l2norm(col(vecCol)).as("__cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
@@ -194,13 +198,17 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       bands: Int = 4, bits: Int = 8,
       maxBucket: Int = Lsh.DefaultMaxBucket): (DataFrame, LshStats) = {
-    val (capped, stats) = capBuckets(bandTable(df, idCol, vecCol, bands, bits), maxBucket)
-    val a = capped.select(col("doc").as("vec_a"), col("band_idx"), col("band_key"))
-    val b = capped.select(col("doc").as("vec_b"), col("band_idx"), col("band_key"))
-    val cand = a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b")
-      .dropDuplicates("vec_a", "vec_b")
+    // single band-kernel evaluation under the default cap (see
+    // Lsh.withCappedBuckets)
+    val (cand, stats) = Lsh.withCappedBuckets(
+      bandTable(df, idCol, vecCol, bands, bits), maxBucket, "embeddingNearDupPairs") { capped =>
+      val a = capped.select(col("doc").as("vec_a"), col("band_idx"), col("band_key"))
+      val b = capped.select(col("doc").as("vec_b"), col("band_idx"), col("band_key"))
+      a.join(b, Seq("band_idx", "band_key"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates("vec_a", "vec_b")
+    }
     val v = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
       l2norm(col(vecCol)).as("__n"))
     val verified = cand

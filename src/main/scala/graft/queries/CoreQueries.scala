@@ -262,6 +262,6 @@ object CoreQueries {
       """SELECT 'unexpected_rows_expectation' AS expectation_type,
         | CAST(NULL AS VARCHAR) AS domain, count(*) = 0 AS success,
         | CAST(NULL AS BIGINT) AS element_count, CAST(NULL AS BIGINT) AS missing_count,
-        | CAST(NULL AS BIGINT) AS unexpected_count, CAST(count(*) AS DOUBLE) AS observed
+        | CAST(count(*) AS BIGINT) AS unexpected_count, CAST(NULL AS DOUBLE) AS observed
         |FROM lineitem WHERE l_quantity > 100""".stripMargin)
 }

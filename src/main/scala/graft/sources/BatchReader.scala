@@ -52,9 +52,9 @@ object BatchReader {
     if (persist) df.persist(StorageLevel.MEMORY_AND_DISK) else df
   }
 
-  /** Results sink: suite result as a GE-shaped JSON document
-    * (checkpoint actions analogue — validation_results_store). */
-  def writeSuiteResultJson(sr: SuiteResult, outPath: String): Unit = {
+  /** GE-shaped JSON document for one suite result (the payload every
+    * results store writes — filesystem, in-memory, JDBC). */
+  def suiteResultJson(sr: SuiteResult): String = {
     val evrs = sr.results.map { e =>
       Map(
         "expectation_config" -> Map(
@@ -76,9 +76,15 @@ object BatchReader {
         "success_percent" -> sr.statistics.successPercent
           .map(x => x: Any).getOrElse(null)),
       "results" -> evrs)
+    Json.write(doc)
+  }
+
+  /** Results sink: suite result as a GE-shaped JSON document
+    * (checkpoint actions analogue — validation_results_store). */
+  def writeSuiteResultJson(sr: SuiteResult, outPath: String): Unit = {
     val p = Paths.get(outPath)
     if (p.getParent != null) Files.createDirectories(p.getParent)
-    Files.writeString(p, Json.write(doc),
+    Files.writeString(p, suiteResultJson(sr),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 }

@@ -81,4 +81,42 @@ class CheckpointSpec extends AnyFunSuite {
     assert(lineage.values.map(_.rowsKept).sum == kept)
     assert(lineage.values.forall(_.inputPath == "sf0.001"))
   }
+
+  test("results round-trip through the in-memory and JDBC store actions") {
+    import graft.core._
+    import graft.core.SuiteCheckpoint._
+    import spark.implicits._
+    val df = (1 to 10).toDF("x")
+    val mem = new InMemoryResultStore
+    val dbDir = freshDir()
+    val jdbc = JdbcResultStore(s"jdbc:derby:$dbDir/graftdb;create=true")
+    val suites = Seq(
+      df -> Suite("good", Seq(ExpectColumnValuesToBeBetween("x", Some(1), Some(10)))),
+      df -> Suite("bad", Seq(ExpectColumnValuesToBeBetween("x", Some(1), Some(5)))))
+    val cr = SuiteCheckpoint.run("cp1", suites, Seq(mem, jdbc))
+    assert(!cr.success)
+
+    // in-memory: both results retrievable, verdicts preserved
+    assert(mem.get("cp1", "good").exists(_.success))
+    assert(mem.get("cp1", "bad").exists(!_.success))
+    assert(mem.keys == Seq(("cp1", "bad"), ("cp1", "good")))
+
+    // JDBC: queryable columns + the full GE-shaped JSON document;
+    // re-running the checkpoint replaces rows (fixed-key set semantics)
+    SuiteCheckpoint.run("cp1", suites, Seq(jdbc))
+    val conn = java.sql.DriverManager.getConnection(
+      s"jdbc:derby:$dbDir/graftdb")
+    try {
+      val rs = conn.createStatement().executeQuery(
+        "SELECT suite_name, run_success, evaluated, successful, document " +
+          "FROM graft_validation_results ORDER BY suite_name")
+      assert(rs.next())
+      assert(rs.getString(1) == "bad" && !rs.getBoolean(2))
+      assert(rs.getInt(3) == 1 && rs.getInt(4) == 0)
+      assert(rs.getString(5).contains("\"unexpected_count\""))
+      assert(rs.next())
+      assert(rs.getString(1) == "good" && rs.getBoolean(2))
+      assert(!rs.next()) // replaced, not appended
+    } finally conn.close()
+  }
 }

@@ -232,4 +232,44 @@ class DedupSpec extends AnyFunSuite {
     assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 3L))
   }
+
+  test("native SimHashSig ≡ the Column formulation (bit-exact)") {
+    // real corpus + adversarial shapes: empty, whitespace-only, single
+    // token, unicode case, heavy repetition (majority ties)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((9001L, ""), (9002L, "   "), (9003L, "one"),
+        (9004L, "ÅÄÖ Straße İ"), (9005L, ("a b " * 7) + "c"))
+        .toDF("doc_id", "text"))
+    val a = d.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+    val b = d.select(col("doc_id"),
+      Dedup.simhashColumnForm(col("text")).as("fp"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("LSH cap census evaluates the band/fingerprint kernel ONCE per doc") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val boiler = (100L until 160L).map(i => (i, "spam spam wonderful spam " * 5))
+    val d = (Seq((1L, base), (2L, base + " tail")) ++ boiler)
+      .toDF("doc_id", "text").repartition(4)
+    val n = d.count()
+
+    graft.functions.MinHashSig.bandsCalls.set(0L)
+    val (pairs, stats) =
+      Dedup.minhashLshPairsWithStats(d, "doc_id", "text", 12, 4, 0.5, maxBucket = 10)
+    pairs.count() // materialize the verify stage too
+    assert(stats.droppedBuckets > 0) // the census actually engaged
+    assert(graft.functions.MinHashSig.bandsCalls.get() == n,
+      s"minhash band kernel ran ${graft.functions.MinHashSig.bandsCalls.get()} " +
+        s"times for $n docs — census/anti-join must reuse the cached projection")
+
+    graft.functions.SimHashCore.calls.set(0L)
+    val (spairs, sstats) =
+      Dedup.simhashPairsWithStats(d, "doc_id", "text", 6, maxBucket = 10)
+    spairs.count()
+    assert(sstats.droppedBuckets > 0)
+    assert(graft.functions.SimHashCore.calls.get() == n,
+      s"simhash kernel ran ${graft.functions.SimHashCore.calls.get()} " +
+        s"times for $n docs")
+  }
 }

@@ -267,7 +267,8 @@ class EngineSpec extends AnyFunSuite {
       UnexpectedRowsExpectation("SELECT * FROM {batch} WHERE x > 5"))))
     assert(sr.results.head.success)
     assert(!sr.results(1).success)
-    assert(sr.results(1).result("observed_value") == 5)
+    assert(sr.results(1).result("observed_value") == "5 unexpected rows")
+    assert(sr.results(1).result("unexpected_count") == 5L)
   }
 
   test("result_format parameter object: caps, exclusion, index columns") {
@@ -349,7 +350,10 @@ class EngineSpec extends AnyFunSuite {
     val (fused, resolve) = sr.fusedFrame(df, Nil, aggExps, _.unexpectedCondition)
     // both expectations resolve to the SAME aggregate alias
     assert(resolve((0, "observed")) == resolve((1, "observed")))
-    assert(fused.columns.count(_.startsWith("__agg")) == 1)
+    assert(resolve((0, "__ec")) == resolve((1, "__ec")))
+    // 3 dedup'd aggregates for BOTH expectations together: avg(x) +
+    // the element/nonnull counts feeding the reference-shaped agg EVR
+    assert(fused.columns.count(_.startsWith("__agg")) == 3)
     // and the suite still validates both correctly
     val r = Graft.validate(df, Suite("t", Seq(
       ExpectColumnMeanToBeBetween("x", Some(0.0), Some(99.0)),
@@ -605,8 +609,10 @@ class EngineSpec extends AnyFunSuite {
         UnexpectedRowsExpectation("SELECT * FROM {batch} WHERE x > 0"))))
         .results.head
       assert(!r.success)
-      assert(r.result("observed_value") == 500L) // true count, beyond the cap
-      assert(r.result("unexpected_rows").asInstanceOf[Seq[_]].size == 20)
+      assert(r.result("unexpected_count") == 500L) // true count, beyond the cap
+      assert(r.result("observed_value") == "500 unexpected rows")
+      assert(r.result("details").asInstanceOf[Map[String, Any]]("unexpected_rows")
+        .asInstanceOf[Seq[_]].size == 20)
       Thread.sleep(1500)
       // "command" entries are the temp-view create/drop, not data jobs
       val snap = plans.synchronized(plans.toList).filterNot(_ == "command")
