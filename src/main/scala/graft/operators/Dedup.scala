@@ -108,22 +108,30 @@ object Dedup {
       threshold: Double = 0.5, maxDf: Int = Lsh.DefaultMaxDf): DataFrame = {
     val sh = df.select(col(idCol).as("__sid"),
       graft.functions.MinHashSig.shingles_native(col(textCol)).as("__sh"))
-    // inverted index on the shingle md5 (32 bytes, never the shingle text)
+    // inverted index on the shingle md5 (32 bytes, never the shingle text).
+    // The posting table is cached for the duration of candidate generation:
+    // its self-join (and the optional DF census) would otherwise re-run the
+    // shingle kernel + explode + md5 once per reference — the same
+    // double-evaluation the banded-LSH path eliminates (Lsh.withCappedBuckets)
     val posting = sh.select(col("__sid").as("doc"),
       explode(col("__sh")).as("__s"))
       .select(col("doc"), md5(col("__s")).as("sh_hash"))
-    val pruned =
-      if (maxDf == Int.MaxValue) posting
-      else {
-        val hot = posting.groupBy("sh_hash")
-          .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
-        posting.join(broadcast(hot.select("sh_hash")), Seq("sh_hash"), "left_anti")
-      }
-    val cand = pruned.select(col("doc").as("doc_a"), col("sh_hash"))
-      .join(pruned.select(col("doc").as("doc_b"), col("sh_hash")), "sh_hash")
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = try {
+      val pruned =
+        if (maxDf == Int.MaxValue) posting
+        else {
+          val hot = posting.groupBy("sh_hash")
+            .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
+          posting.join(broadcast(hot.select("sh_hash")), Seq("sh_hash"), "left_anti")
+        }
+      pruned.select(col("doc").as("doc_a"), col("sh_hash"))
+        .join(pruned.select(col("doc").as("doc_b"), col("sh_hash")), "sh_hash")
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates("doc_a", "doc_b")
+        .localCheckpoint()
+    } finally posting.unpersist(blocking = true)
     cand
       .join(sh.select(col("__sid").as("doc_a"), col("__sh").as("sh_a")), "doc_a")
       .join(sh.select(col("__sid").as("doc_b"), col("__sh").as("sh_b")), "doc_b")

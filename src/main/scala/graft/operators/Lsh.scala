@@ -34,22 +34,29 @@ object Lsh {
     * construction (≤ rows/maxBucket keys) and broadcast to the anti-join. */
   /** Run `body` over the capped band table with a SINGLE evaluation of the
     * (expensive) band-key kernel: the narrow exploded projection is cached,
-    * the census job populates the cache, the anti-join and `body` read from
-    * it, and the result is pinned with an eager localCheckpoint before the
-    * cache is released (blocking). Under maxBucket = ∞ nothing is cached
-    * and the result stays lazy (the exhaustive/oracle path, unchanged). */
+    * the census job (when a cap is set) populates the cache, the candidate
+    * self-join and `body` read from it, and the result is pinned with an
+    * eager localCheckpoint before the cache is released (blocking).
+    *
+    * The exhaustive path (maxBucket = ∞) caches too: a band-table
+    * SELF-join otherwise evaluates the kernel once per join side —
+    * measured 2× the whole kernel cost on the minhash pipeline (Catalyst
+    * does not reuse the exchange because each side projects different
+    * output names before the shuffle). The price is eager evaluation at
+    * call time, which these pair-operators would pay on first action
+    * anyway. */
   def withCappedBuckets(exploded: DataFrame, maxBucket: Int,
       op: String = "lsh")(
-      body: DataFrame => DataFrame): (DataFrame, LshStats) =
-    if (maxBucket == Int.MaxValue) (body(exploded), LshStats(0L, 0L))
-    else {
-      val cached = exploded.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val (capped, stats) = capBuckets(cached, maxBucket, op)
-        (body(capped).localCheckpoint(), stats)
-      } finally cached.unpersist(blocking = true)
-    }
+      body: DataFrame => DataFrame): (DataFrame, LshStats) = {
+    val cached = exploded.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (capped, stats) =
+        if (maxBucket == Int.MaxValue) (cached, LshStats(0L, 0L))
+        else capBuckets(cached, maxBucket, op)
+      (body(capped).localCheckpoint(), stats)
+    } finally cached.unpersist(blocking = true)
+  }
 
   def capBuckets(exploded: DataFrame, maxBucket: Int,
       op: String = "lsh"): (DataFrame, LshStats) = {

@@ -271,5 +271,14 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.functions.SimHashCore.calls.get() == n,
       s"simhash kernel ran ${graft.functions.SimHashCore.calls.get()} " +
         s"times for $n docs")
+
+    // the EXHAUSTIVE path (maxBucket = ∞) is cached too: its candidate
+    // SELF-join would otherwise run the kernel once per join side
+    graft.functions.MinHashSig.bandsCalls.set(0L)
+    Dedup.minhashLshPairs(d, "doc_id", "text", 12, 4, 0.5,
+      maxBucket = Int.MaxValue).count()
+    assert(graft.functions.MinHashSig.bandsCalls.get() == n,
+      s"exhaustive path ran the band kernel " +
+        s"${graft.functions.MinHashSig.bandsCalls.get()} times for $n docs")
   }
 }

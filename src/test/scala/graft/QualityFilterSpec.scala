@@ -170,4 +170,30 @@ class QualityFilterSpec extends AnyFunSuite {
     assert(salted.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       plain.map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
+
+  test("qf plan: clustered+sorted cached input runs the role-seq window " +
+      "with NO Exchange and NO Sort") {
+    import org.apache.spark.sql.functions.col
+    // the layout a 10^12-turn deployment writes once as the table's sort
+    // order: the cached scan forwards partitioning+ordering, so the
+    // per-conversation window must add neither a shuffle nor a sort
+    val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+      .repartition(col("conv_id"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+      .persist()
+    try {
+      t.count()
+      // assert over the plan ABOVE the cache boundary only — the
+      // InMemoryRelation's child records the one-time layout job (its
+      // Exchange/Sort is the table write, outside the steady-state query)
+      val full = QualityFilter(t).queryExecution.executedPlan.toString
+      val plan = full.substring(0, full.indexOf("InMemoryRelation"))
+      assert(plan.contains("InMemoryTableScan"), s"expected cached scan:\n$full")
+      assert(!plan.contains("Exchange"),
+        s"unexpected Exchange in the quality-filter plan:\n$plan")
+      assert(!plan.split("\n").exists(l =>
+          l.trim.startsWith("+- Sort") || l.trim.startsWith("Sort ")),
+        s"unexpected Sort in the quality-filter plan:\n$plan")
+    } finally { t.unpersist(); () }
+  }
 }
