@@ -52,9 +52,17 @@ object SuiteCheckpoint {
     def run(checkpointName: String, sr: SuiteResult): Unit = {
       val conn = java.sql.DriverManager.getConnection(url)
       try {
-        val meta = conn.getMetaData.getTables(
-          null, null, table.toUpperCase(java.util.Locale.ROOT), null)
-        val exists = try meta.next() finally meta.close()
+        // case-insensitive existence check: identifier folding differs per
+        // backend (Derby stores upper, Postgres lower)
+        val meta = conn.getMetaData.getTables(null, null, "%", null)
+        val exists =
+          try {
+            var found = false
+            while (!found && meta.next())
+              found = meta.getString("TABLE_NAME")
+                .equalsIgnoreCase(table)
+            found
+          } finally meta.close()
         if (!exists) {
           val st = conn.createStatement()
           try st.executeUpdate(

@@ -224,10 +224,17 @@ object Dedup {
       var changed = 1L
       var iter = 0
       while (changed > 0) {
-        require(iter < maxIter,
-          s"connectedComponents did not converge in $maxIter rounds — " +
-            "component diameter exceeds the cap; raise maxIter or switch " +
-            "to the star-contraction variant for chain-shaped graphs")
+        if (iter >= maxIter) {
+          // diameter exceeds the propagation budget (a long-chain graph,
+          // not the clique/short-chain shape dedup produces) — switch to
+          // the O(log²n)-round star-contraction algorithm instead of
+          // spinning diameter-many more rounds
+          log.warn(s"connectedComponents: no convergence in $maxIter " +
+            "min-label rounds — falling back to star contraction " +
+            "(Kiveris et al., SoCC'14)")
+          checkpointed.unpersist()
+          return connectedComponentsStar(pairs, aCol, bCol)
+        }
         val msgs = edges.join(labels, edges("src") === labels("id"))
           .select(edges("dst").as("id"), col("lbl"))
         val next = labels.union(msgs)
@@ -244,6 +251,86 @@ object Dedup {
       }
       labels.withColumnRenamed("lbl", "cluster")
     } finally edges.unpersist()
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+    * Components in MapReduce and Beyond", SoCC'14): converges in O(log² n)
+    * rounds regardless of component diameter, where min-label propagation
+    * needs diameter-many rounds. Each round is two groupBy-join passes over
+    * the (canonical min-first) edge list; shuffles carry id pairs only.
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ {u});
+    *  - small-star(u): every neighbor v ≤ u (and u itself) re-attaches
+    *    to m.
+    *
+    * At the fixpoint the edge set is a star forest rooted at each
+    * component's minimum id — the same (id, cluster=min-reachable-id)
+    * contract as [[connectedComponents]]. Convergence is detected by an
+    * exact (count, xor-of-hashes) signature of the canonical edge set —
+    * order-independent and collision-checked by the count. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 100): DataFrame = {
+    // canonical (lo, hi) edges, self-loops dropped
+    val init = pairs.select(
+      least(col(aCol), col(bCol)).as("lo"),
+      greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    // every input vertex, for the final labeling (a star root keeps itself;
+    // vertices of a 2-clique survive as one edge, so none are dropped)
+    def minTo(sym: DataFrame): DataFrame =
+      sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+
+    def largeStar(ed: DataFrame): DataFrame = {
+      val sym = ed.select(col("lo").as("u"), col("hi").as("v"))
+        .union(ed.select(col("hi").as("u"), col("lo").as("v")))
+      sym.join(minTo(sym), "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct()
+    }
+    def smallStar(ed: DataFrame): DataFrame = {
+      val sym = ed.select(col("lo").as("u"), col("hi").as("v"))
+        .union(ed.select(col("hi").as("u"), col("lo").as("v")))
+      val m = minTo(sym)
+      val reattach = sym.join(m, "u")
+        .filter(col("v") <= col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+      val self = m.select(col("m").as("lo"), col("u").as("hi"))
+      reattach.union(self)
+        .filter(col("lo") =!= col("hi")).distinct()
+    }
+
+    def signature(ed: DataFrame): (Long, Long) = {
+      val r = ed.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(lo, hi))"), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var edges = init.localCheckpoint()
+    var sig = signature(edges)
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      require(iter < maxIter,
+        s"connectedComponentsStar did not converge in $maxIter rounds — " +
+          "this exceeds the O(log²n) bound and indicates a logic error, " +
+          "not an input property")
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      edges.unpersist()
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      iter += 1
+    }
+    // star forest: (lo=root, hi=member); roots label themselves
+    edges.select(col("hi").as("id"), col("lo").as("cluster"))
+      .union(edges.select(col("lo").as("id"), col("lo").as("cluster")))
+      .distinct()
   }
 
   /** One-row-per-cluster canonicalization: keep the minimum id of each

@@ -210,12 +210,33 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
-    // iteration cap fails loudly instead of spinning
-    intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(
-        (1L to 8L).sliding(2).map(s => (s.head, s(1))).toSeq
-          .toDF("doc_a", "doc_b"), "doc_a", "doc_b", maxIter = 1)
-    }
+    // iteration cap no longer fails: a chain exceeding the min-label
+    // budget falls back to star contraction and still converges
+    val chain = Dedup.connectedComponents(
+      (1L to 8L).sliding(2).map(s => (s.head, s(1))).toSeq
+        .toDF("doc_a", "doc_b"), "doc_a", "doc_b", maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chain == (1L to 8L).map(_ -> 1L).toMap)
+  }
+
+  test("star-contraction CC: long path graph converges in O(log n) rounds") {
+    // a 500-node path has diameter 499 — min-label would need 499 rounds;
+    // star contraction must close it directly
+    val n = 500L
+    val path = spark.range(1L, n)
+      .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+    val got = Dedup.connectedComponentsStar(path, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 1L))
+    // and agrees with min-label on the multi-component clique/chain mix
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val a = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
   }
 
   test("dedupByPairs keeps one representative per cluster") {
