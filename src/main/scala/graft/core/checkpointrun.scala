@@ -52,9 +52,12 @@ object SuiteCheckpoint {
     def run(checkpointName: String, sr: SuiteResult): Unit = {
       val conn = java.sql.DriverManager.getConnection(url)
       try {
-        // case-insensitive existence check: identifier folding differs per
-        // backend (Derby stores upper, Postgres lower)
-        val meta = conn.getMetaData.getTables(null, null, "%", null)
+        // existence check scoped to the CONNECTION's current schema (a
+        // same-named table in another schema must not suppress the
+        // create), case-insensitive because identifier folding differs
+        // per backend (Derby stores upper, Postgres lower)
+        val schema = try conn.getSchema catch { case _: Throwable => null }
+        val meta = conn.getMetaData.getTables(conn.getCatalog, schema, "%", null)
         val exists =
           try {
             var found = false
@@ -76,23 +79,34 @@ object SuiteCheckpoint {
                |  PRIMARY KEY (checkpoint_name, suite_name))""".stripMargin)
           finally st.close()
         }
-        val del = conn.prepareStatement(
-          s"DELETE FROM $table WHERE checkpoint_name = ? AND suite_name = ?")
+        // atomic replace: delete + insert in ONE transaction so a reader
+        // never observes the key missing and concurrent writers serialize
+        // on the primary key instead of interleaving
+        conn.setAutoCommit(false)
         try {
-          del.setString(1, checkpointName); del.setString(2, sr.suiteName)
-          del.executeUpdate()
-        } finally del.close()
-        val ins = conn.prepareStatement(
-          s"INSERT INTO $table VALUES (?, ?, ?, ?, ?, ?)")
-        try {
-          ins.setString(1, checkpointName)
-          ins.setString(2, sr.suiteName)
-          ins.setBoolean(3, sr.success)
-          ins.setInt(4, sr.statistics.evaluatedExpectations)
-          ins.setInt(5, sr.statistics.successfulExpectations)
-          ins.setString(6, graft.sources.BatchReader.suiteResultJson(sr))
-          ins.executeUpdate(): Unit
-        } finally ins.close()
+          val del = conn.prepareStatement(
+            s"DELETE FROM $table WHERE checkpoint_name = ? AND suite_name = ?")
+          try {
+            del.setString(1, checkpointName); del.setString(2, sr.suiteName)
+            del.executeUpdate()
+          } finally del.close()
+          val ins = conn.prepareStatement(
+            s"INSERT INTO $table VALUES (?, ?, ?, ?, ?, ?)")
+          try {
+            ins.setString(1, checkpointName)
+            ins.setString(2, sr.suiteName)
+            ins.setBoolean(3, sr.success)
+            ins.setInt(4, sr.statistics.evaluatedExpectations)
+            ins.setInt(5, sr.statistics.successfulExpectations)
+            ins.setString(6, graft.sources.BatchReader.suiteResultJson(sr))
+            ins.executeUpdate(): Unit
+          } finally ins.close()
+          conn.commit()
+        } catch {
+          case t: Throwable =>
+            try conn.rollback() catch { case _: Throwable => }
+            throw t
+        }
       } finally conn.close()
     }
   }

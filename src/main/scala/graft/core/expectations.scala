@@ -610,7 +610,12 @@ object BetweenCheck {
   }
   /** ISO-8601 / SQL-style datetime strings as bounds (common in GE JSON
     * suites for min/max expectations on date columns) parse through
-    * java.time (host-TZ-independent) onto the same wall-clock rank. */
+    * java.time (host-TZ-independent) anchored at UTC. Contract: zone-LESS
+    * operands (string bounds, DATE, TIMESTAMP_NTZ) are interpreted as UTC
+    * wall clock, so they compare correctly against instant-typed values
+    * exactly when the data was written under a UTC session timezone —
+    * which this engine's session builders set. On a non-UTC session, pass
+    * instant-typed bounds (or offsets in the strings) instead. */
   private def temporalString(s: String): Option[Double] = {
     def opt(f: => Double): Option[Double] =
       try Some(f) catch { case _: Exception => None }
@@ -656,14 +661,17 @@ sealed abstract class ColumnAggBetween(metric: String, aggFn: Column => Column)
   def strictMin: Boolean = false
   def strictMax: Boolean = false
   val expectationType = s"expect_column_${metric}_to_be_between"
-  /** mean/sum/stdev demand a numeric input column; the reference raises a
-    * "numeric"-typed metric error rather than coercing strings (min/max
-    * stay permissive — they order strings and timestamps). */
+  /** mean/sum/stdev demand a numeric input column; the reference's Spark
+    * engine raises a "numeric"-typed metric error rather than coercing
+    * strings or booleans (avg/sum over BooleanType is an ANALYSIS error in
+    * Spark, which would otherwise poison every sibling in the fused
+    * domain; min/max stay permissive — they order strings and
+    * timestamps). */
   override def schemaError(schema: StructType): Option[String] =
     if (metric != "mean" && metric != "sum" && metric != "stdev") None
     else schema.find(_.name == column).collect {
       case f if !f.dataType.isInstanceOf[NumericType] &&
-          f.dataType != NullType && f.dataType != BooleanType =>
+          f.dataType != NullType =>
         s"column '$column' must be numeric for $expectationType " +
           s"(found ${f.dataType.simpleString})"
     }
@@ -949,7 +957,9 @@ object KlMath {
   def entropy(pk: Seq[Double], qk: Seq[Double]): Double = {
     val ps = pk.sum
     val qs = qk.sum
-    if (ps == 0.0) return Double.NaN
+    // ps NaN = an empty/all-null domain's 0/0 weights — the divergence is
+    // undefined (observed null, success false), NOT vacuously zero
+    if (ps == 0.0 || ps.isNaN) return Double.NaN
     var kl = 0.0
     var i = 0
     while (i < pk.length) {
@@ -1080,28 +1090,6 @@ object KlMath {
     (kl, details)
   }
 
-  /** Finite-endpoint continuous KL from resolved histogram counts
-    * (expect_column_kl_divergence_to_be_less_than.py:689-860): expected
-    * weights scaled for holdouts (internal spread over zero bins, tail
-    * split across the two tails), observed = counts/nonnull with
-    * below/above-partition tails, then scipy-normalized entropy. */
-  def continuousFromCounts(counts: Seq[Long], below: Long, above: Long,
-      nonnull: Long, weights: Seq[Double], tailWeightHoldout: Double,
-      internalWeightHoldout: Double): Double =
-    if (nonnull == 0) Double.NaN
-    else {
-      val scaled = weights.map(_ *
-        (1 - tailWeightHoldout - internalWeightHoldout))
-      val zeroCount = scaled.count(_ == 0.0)
-      val ew =
-        if (internalWeightHoldout > 0 && zeroCount > 0)
-          scaled.map(w => if (w == 0.0) internalWeightHoldout / zeroCount else w)
-        else scaled
-      val combExpected = (tailWeightHoldout / 2) +: ew :+ (tailWeightHoldout / 2)
-      val combObserved = (below.toDouble / nonnull) +:
-        counts.map(_.toDouble / nonnull) :+ (above.toDouble / nonnull)
-      entropy(combObserved, combExpected)
-    }
 }
 
 /** KL divergence (expect_column_kl_divergence_to_be_less_than.py:110):

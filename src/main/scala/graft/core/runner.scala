@@ -234,13 +234,16 @@ final class SuiteRunner(
       val err: Option[Throwable] =
         if (miss.nonEmpty) Some(new IllegalArgumentException(
           s"column(s) not found: ${miss.mkString(", ")}"))
-        else (e match {
+        // kwarg/construction errors (malformed bounds, empty regex lists)
+        // fire BEFORE the schema gate — the reference validates kwargs at
+        // configuration time, before any metric resolution
+        else buildError(e).orElse(e match {
           case m: MapExpectation => m.schemaError(domainDf.schema)
             .map(msg => new IllegalArgumentException(msg): Throwable)
           case a: AggExpectation => a.schemaError(domainDf.schema)
             .map(msg => new IllegalArgumentException(msg): Throwable)
           case _ => None
-        }).orElse(buildError(e))
+        })
       (e, i, err)
     }
     probed.foreach { case (_, i, err) =>

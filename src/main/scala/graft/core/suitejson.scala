@@ -97,18 +97,20 @@ object SuiteJson {
     def dbl(name: String, default: Double): Double =
       num(name).getOrElse(default)
     def dblOpt(name: String): Option[Double] = num(name)
-    /** Strict integer read with the reference's (pydantic) "is not a valid
-      * integer" phrasing for non-numeric text. */
-    def intOpt(name: String): Option[Int] = scalar(name).map { n =>
-      if (n.isNumber) n.intValue()
+    /** Strict integer reads with the reference's (pydantic) "is not a
+      * valid integer" phrasing for non-numeric text. The long form exists
+      * for row-count magnitudes (a 3·10⁹ value must not truncate). */
+    def longOpt(name: String): Option[Long] = scalar(name).map { n =>
+      if (n.isNumber) n.longValue()
       else if (n.isTextual)
-        try n.asText().trim.toInt
+        try n.asText().trim.toLong
         catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"'$name' value '${n.asText()}' is not a valid integer")
         }
       else throw new IllegalArgumentException(s"'$name' is not a valid integer")
     }
+    def intOpt(name: String): Option[Int] = longOpt(name).map(_.toInt)
     def bool(name: String, default: Boolean): Boolean =
       scalar(name).map(_.asBoolean()).getOrElse(default)
     def mostly: Double = {
@@ -311,7 +313,7 @@ object SuiteJson {
       ExpectTableRowCountToBeBetween(kw.anyOpt("min_value"),
         kw.anyOpt("max_value"), kw.rowCondition)
     case "expect_table_row_count_to_equal" =>
-      ExpectTableRowCountToEqual(kw.intOpt("value").get.toLong, kw.rowCondition)
+      ExpectTableRowCountToEqual(kw.longOpt("value").get, kw.rowCondition)
     case "expect_column_median_to_be_between" =>
       ExpectColumnMedianToBeBetween(kw.str("column"), kw.dblOpt("min_value"),
         kw.dblOpt("max_value"), kw.rowCondition)

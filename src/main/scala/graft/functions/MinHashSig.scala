@@ -27,8 +27,11 @@ private[functions] object MinHashCore {
   /** Distinct word n-gram shingles; degenerate docs → whole-text shingle. */
   def shingleSet(text: String, n: Int): java.util.LinkedHashSet[String] = {
     // Locale.ROOT: a Turkish-class default locale would lowercase ASCII
-    // 'I' to dotless ı and break md5 parity with lower()/the oracle
-    val toks = text.toLowerCase(java.util.Locale.ROOT).trim
+    // 'I' to dotless ı and break md5 parity with lower()/the oracle.
+    // No String.trim: it strips every char ≤ U+0020 where the Column
+    // spec's SQL trim strips only spaces — \s+ split + empty filter is
+    // exactly split(trim(regexp_replace(lower(t),'\s+',' ')), ' ')
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty)
     val shingles = new java.util.LinkedHashSet[String]()
     if (toks.length >= n) {
@@ -112,7 +115,7 @@ private[functions] object MinHashCore {
   }
 
   def bandsArray(v: UTF8String, k: Int, bands: Int, n: Int): GenericArrayData = {
-    MinHashSig.bandsCalls.incrementAndGet()
+    MinHashSig.bandsCalls.increment()
     val text = if (v == null) "" else v.toString
     val rowsPerBand = k / bands
     val sig = signature(shingleSet(text, n), k)
@@ -235,8 +238,9 @@ case class Shingles(child: Expression, n: Int = 3)
 object MinHashSig {
   import org.apache.spark.sql.graftshim.Shims
   /** Test hook: per-row band-kernel invocations (DedupSpec asserts the LSH
-    * pipeline evaluates the kernel once per document, not once per pass). */
-  val bandsCalls = new java.util.concurrent.atomic.AtomicLong
+    * pipeline evaluates the kernel once per document, not once per pass).
+    * LongAdder: striped — no shared-cache-line CAS in the per-row path. */
+  val bandsCalls = new java.util.concurrent.atomic.LongAdder
   def minhash_sig(c: Column, k: Int): Column =
     Shims.toColumn(MinHashSig(Shims.toExpression(c), k))
   def minhash_bands(c: Column, k: Int, bands: Int): Column =

@@ -260,7 +260,9 @@ class DedupSpec extends AnyFunSuite {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
       .unionByName(Seq((9001L, ""), (9002L, "   "), (9003L, "one"),
-        (9004L, "ÅÄÖ Straße İ"), (9005L, ("a b " * 7) + "c"))
+        (9004L, "ÅÄÖ Straße İ"), (9005L, ("a b " * 7) + "c"),
+        (9006L, null.asInstanceOf[String]),
+        (9007L, "\u0001ctrl edge\u0002"))
         .toDF("doc_id", "text"))
     val a = d.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
     val b = d.select(col("doc_id"),
@@ -275,31 +277,31 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text").repartition(4)
     val n = d.count()
 
-    graft.functions.MinHashSig.bandsCalls.set(0L)
+    graft.functions.MinHashSig.bandsCalls.reset()
     val (pairs, stats) =
       Dedup.minhashLshPairsWithStats(d, "doc_id", "text", 12, 4, 0.5, maxBucket = 10)
     pairs.count() // materialize the verify stage too
     assert(stats.droppedBuckets > 0) // the census actually engaged
-    assert(graft.functions.MinHashSig.bandsCalls.get() == n,
-      s"minhash band kernel ran ${graft.functions.MinHashSig.bandsCalls.get()} " +
+    assert(graft.functions.MinHashSig.bandsCalls.sum() == n,
+      s"minhash band kernel ran ${graft.functions.MinHashSig.bandsCalls.sum()} " +
         s"times for $n docs — census/anti-join must reuse the cached projection")
 
-    graft.functions.SimHashCore.calls.set(0L)
+    graft.functions.SimHashCore.calls.reset()
     val (spairs, sstats) =
       Dedup.simhashPairsWithStats(d, "doc_id", "text", 6, maxBucket = 10)
     spairs.count()
     assert(sstats.droppedBuckets > 0)
-    assert(graft.functions.SimHashCore.calls.get() == n,
-      s"simhash kernel ran ${graft.functions.SimHashCore.calls.get()} " +
+    assert(graft.functions.SimHashCore.calls.sum() == n,
+      s"simhash kernel ran ${graft.functions.SimHashCore.calls.sum()} " +
         s"times for $n docs")
 
     // the EXHAUSTIVE path (maxBucket = ∞) is cached too: its candidate
     // SELF-join would otherwise run the kernel once per join side
-    graft.functions.MinHashSig.bandsCalls.set(0L)
+    graft.functions.MinHashSig.bandsCalls.reset()
     Dedup.minhashLshPairs(d, "doc_id", "text", 12, 4, 0.5,
       maxBucket = Int.MaxValue).count()
-    assert(graft.functions.MinHashSig.bandsCalls.get() == n,
+    assert(graft.functions.MinHashSig.bandsCalls.sum() == n,
       s"exhaustive path ran the band kernel " +
-        s"${graft.functions.MinHashSig.bandsCalls.get()} times for $n docs")
+        s"${graft.functions.MinHashSig.bandsCalls.sum()} times for $n docs")
   }
 }

@@ -361,6 +361,20 @@ class EngineSpec extends AnyFunSuite {
     assert(r.success)
   }
 
+  test("KL divergence on an empty/all-null domain: observed null, not vacuous zero") {
+    val empty = Seq.empty[Option[Double]].toDF("v")
+    val r = Graft.validate(empty, Suite("t", Seq(
+      ExpectColumnKlDivergenceContinuousToBeLessThan("v",
+        Seq(0.0, 1.0, 2.0), Seq(0.5, 0.5), 0.5)))).results.head
+    assert(!r.success, r.result)
+    assert(r.result("observed_value") == null)
+    val allNull = Seq[Option[Double]](None, None).toDF("v")
+    val r2 = Graft.validate(allNull, Suite("t", Seq(
+      ExpectColumnKlDivergenceContinuousToBeLessThan("v",
+        Seq(0.0, 1.0, 2.0), Seq(0.5, 0.5), 0.5)))).results.head
+    assert(!r2.success && r2.result("observed_value") == null)
+  }
+
   test("review regressions: isolation, numeric KL keys, dates, views") {
     // (a) a malformed expectation (empty regex_list → reduce on empty)
     // fails alone, not its fused siblings
