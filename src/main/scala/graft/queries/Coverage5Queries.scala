@@ -65,6 +65,23 @@ object Coverage5Queries {
           r.result("missing_percent").asInstanceOf[Double])
       }.toDF("expectation_type", "success", "element_count", "missing_count",
         "missing_pct").orderBy("expectation_type")
+    }),
+    /** Star-contraction connected components on a CHAIN-shaped graph —
+      * the diameter regime min-label propagation cannot handle (the
+      * Kiveris SoCC'14 path). Edges link consecutive doc_ids with a break
+      * before every multiple of 10, so components are the exact intervals
+      * [10m, 10m+9] and the oracle has the closed form id - id%10. */
+    "q69_cc_star_chain" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val d = t(dir, "documents").select(col("doc_id"))
+      val maxId = d.agg(max("doc_id")).head().getLong(0)
+      val pairs = d
+        .filter((col("doc_id") + 1) % 10 =!= 0 && col("doc_id") < maxId)
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1L).as("doc_b"))
+      graft.operators.Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+        .select(col("id").cast("bigint").as("id"),
+          col("cluster").cast("bigint").as("cluster"))
+        .orderBy("id")
     }))
 
   // --- oracles ---------------------------------------------------------------
@@ -99,5 +116,9 @@ object Coverage5Queries {
 
   val oracles: Map[String, String] = Map(
     "q67_kl_auto_partition" -> q67Oracle,
-    "q68_agg_result_fields" -> q68Oracle)
+    "q68_agg_result_fields" -> q68Oracle,
+    "q69_cc_star_chain" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        | CAST(doc_id - (doc_id % 10) AS BIGINT) AS cluster
+        |FROM documents ORDER BY id""".stripMargin)
 }
