@@ -86,7 +86,33 @@ object StreamingQueries {
         .select(md5(graft.functions.TextFunctions.normText(col("text")))
           .as("text_hash"))
         .distinct().orderBy("text_hash")
+    }),
+    "q70_stream_kl_drift" -> ((s, dir) => {
+      // windowed categorical-KL drift monitor over the event stream: one
+      // watermarked aggregate per day window, divergence as a
+      // post-aggregation expression (StreamingValidate.categoricalDriftStream)
+      val staged = Files.createTempDirectory("graft_stream_ev").toString
+      s.read.parquet(s"$dir/events.parquet").repartition(4)
+        .write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val view = runToMemory(StreamingValidate.categoricalDriftStream(
+        stream, "event_type", "ts", "1 hour", "1 day",
+        DriftValues, DriftWeights, DriftThreshold, DriftTail), "complete")
+      dropStaged(staged)
+      s.sql(s"""SELECT date_format(window.start, 'yyyy-MM-dd') AS day,
+        element_count, __n0 AS n_click, __n1 AS n_view, __n2 AS n_purchase,
+        nonnull_count, other_count, drift
+        FROM $view ORDER BY day""")
     }))
+
+  // q70 drift parameters (threshold far from the data's actual divergence
+  // so the boolean is robust to last-ulp ln differences across engines)
+  private val DriftValues = Seq("click", "view", "purchase")
+  private val DriftWeights = Seq(0.5, 0.3, 0.2)
+  private val DriftThreshold = 0.5
+  private val DriftTail = 0.1
 
   // NOTE: stripMargin must run on the literal BEFORE the transcript CTE is
   // prepended — transcriptSql itself contains '||' at line starts, which
@@ -104,5 +130,34 @@ object StreamingQueries {
       (Transcripts.oracleCtePrefix + "\n" +
         s"""SELECT DISTINCT md5(${graft.functions.TextFunctions.normTextSql("text")})
            |  AS text_hash
-           |FROM transcripts ORDER BY text_hash NULLS FIRST""".stripMargin))
+           |FROM transcripts ORDER BY text_hash NULLS FIRST""".stripMargin),
+    "q70_stream_kl_drift" -> q70Oracle)
+
+  /** Same KL arithmetic as the streaming expression: p from counts, q
+    * coefficients precomputed in SCALA and emitted as CAST('…' AS DOUBLE)
+    * (a bare 17-digit literal would go through DuckDB DECIMAL and can
+    * misround; DuckDB also evaluates 0.2*0.9 in exact decimal ≠ IEEE). */
+  private def q70Oracle: String = {
+    def qlit(v: Double): String = s"CAST('${v}' AS DOUBLE)"
+    val coeffs = DriftWeights.map(w => w / DriftWeights.sum * (1 - DriftTail))
+    def term(p: String, q: String): String =
+      s"CASE WHEN $p > 0 THEN $p * ln($p / $q) ELSE 0 END"
+    val names = Seq("n_click", "n_view", "n_purchase")
+    val terms = names.zip(coeffs).map { case (n, q) =>
+      term(s"(CAST($n AS DOUBLE) / nn)", qlit(q))
+    } :+ term("(CAST(nn - n_click - n_view - n_purchase AS DOUBLE) / nn)",
+      qlit(DriftTail))
+    s"""SELECT day, element_count, n_click, n_view, n_purchase,
+       |  nn AS nonnull_count, nn - n_click - n_view - n_purchase AS other_count,
+       |  NOT ((${terms.mkString(" + ")}) <= $DriftThreshold) AS drift
+       |FROM (
+       |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       |    count(*) AS element_count,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       |    CAST(count(event_type) AS BIGINT) AS nn
+       |  FROM events GROUP BY 1) w
+       |ORDER BY day""".stripMargin
+  }
 }

@@ -81,6 +81,66 @@ object StreamingValidate {
     QualityFilter.withRulesStateless(scored)
   }
 
+  /** Streaming distribution-drift monitor: per-event-time-window
+    * categorical KL divergence of the stream's value histogram against an
+    * expected partition — the continuous-ingestion analogue of
+    * expect_column_kl_divergence_to_be_less_than, the check a training-data
+    * pipeline runs to catch source drift as it happens.
+    *
+    * Everything stays inside ONE watermarked streaming aggregate: the
+    * per-window counts for each expected value (plus the pooled
+    * out-of-partition bucket) are sum-when columns, and the divergence is
+    * a deterministic post-aggregation EXPRESSION over them — no second
+    * stateful operator, no driver-side math, state = one row per open
+    * window. Out-of-partition values are POOLED into a single tail bucket
+    * weighted `tailWeightHoldout` (the batch expectation splits the
+    * holdout over the distinct unexpected values; a streaming monitor
+    * cannot know that count without a second aggregation, and the pooled
+    * form is equivalent when one unexpected value dominates — documented
+    * divergence). tailWeightHoldout = 0 ⇒ any unexpected value drives the
+    * divergence to +∞ ⇒ drift. */
+  def categoricalDriftStream(stream: DataFrame, valueCol: String,
+      tsCol: String, watermarkDelay: String, windowDur: String,
+      values: Seq[String], weights: Seq[Double], threshold: Double,
+      tailWeightHoldout: Double = 0.0): DataFrame = {
+    require(values.size == weights.size && weights.sum > 0,
+      "expected partition: |values| must equal |weights|, weights non-empty")
+    val c = col(valueCol)
+    val counts = values.zipWithIndex.map { case (v, i) =>
+      sum(when(c === lit(v), 1L).otherwise(0L)).as(s"__n$i")
+    }
+    val windowed = stream
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("element_count"),
+        (counts :+ count(c).as("__nn")): _*)
+    // scipy-entropy arithmetic as columns: p from the window's counts, q
+    // from the holdout-scaled expected weights (coefficients precomputed
+    // in Scala so both engines see identical IEEE doubles)
+    val nn = col("__nn").cast("double")
+    val wSum = weights.sum
+    def term(p: org.apache.spark.sql.Column, q: Double) =
+      if (q == 0.0)
+        when(p > 0.0, lit(Double.PositiveInfinity)).otherwise(lit(0.0))
+      else when(p > 0.0, p * log(p / lit(q))).otherwise(lit(0.0))
+    val inTerms = values.indices.map { i =>
+      term(col(s"__n$i").cast("double") / nn,
+        weights(i) / wSum * (1 - tailWeightHoldout))
+    }
+    val otherCount =
+      col("__nn") - values.indices.map(i => col(s"__n$i")).reduce(_ + _)
+    val otherTerm = term(otherCount.cast("double") / nn, tailWeightHoldout)
+    val kl = (inTerms :+ otherTerm).reduce(_ + _)
+    windowed.select(
+      (Seq(col("window"), col("element_count")) ++
+        values.indices.map(i => col(s"__n$i")) :+
+        col("__nn").as("nonnull_count") :+
+        otherCount.as("other_count") :+
+        kl.as("kl") :+
+        (!(kl <= lit(threshold))).as("drift")): _*)
+  }
+
   /** Streaming exact dedup: first occurrence of each normalized-text
     * digest wins, with state bounded by the event-time watermark
     * (dropDuplicatesWithinWatermark) — the streaming analogue of

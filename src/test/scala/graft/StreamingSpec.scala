@@ -99,4 +99,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.getLong(0) == want.count())
     assert(got.getLong(1) == want.filter("pii_found").count())
   }
+
+  test("categorical drift monitor: matching window clean, drifted window flags") {
+    val dir = Files.createTempDirectory("graft_drift").toString
+    // day 1 matches the expected 50/30/20 partition exactly; day 2 is all
+    // out-of-partition values (pooled tail bucket)
+    val rows =
+      (1 to 50).map(i => (s"e$i", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click")) ++
+      (1 to 30).map(i => (s"f$i", java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "view")) ++
+      (1 to 20).map(i => (s"g$i", java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), "purchase")) ++
+      (1 to 10).map(i => (s"h$i", java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), "error"))
+    rows.toDF("id", "ts", "event_type").repartition(2)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingValidate.categoricalDriftStream(stream, "event_type",
+      "ts", "1 hour", "1 day", Seq("click", "view", "purchase"),
+      Seq(0.5, 0.3, 0.2), threshold = 0.2, tailWeightHoldout = 0.1)
+      .writeStream.outputMode("complete").format("memory").queryName("drift")
+      .trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(120000))
+    val got = spark.sql(
+      "SELECT date_format(window.start, 'yyyy-MM-dd'), drift, kl FROM drift")
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getDouble(2))).toMap
+    // day 1: observed 0.5/0.3/0.2 vs expected scaled 0.45/0.27/0.18 and an
+    // empty tail -> kl = ln(1/0.9) ~ 0.105 < 0.2 -> clean
+    assert(!got("2024-01-01")._1)
+    assert(math.abs(got("2024-01-01")._2 - math.log(1 / 0.9)) < 1e-12)
+    // day 2: all mass in the tail bucket (weight 0.1) -> kl = ln(10) -> drift
+    assert(got("2024-01-02")._1)
+    assert(math.abs(got("2024-01-02")._2 - math.log(10.0)) < 1e-12)
+  }
 }
