@@ -105,6 +105,24 @@ object StreamingQueries {
         element_count, __n0 AS n_click, __n1 AS n_view, __n2 AS n_purchase,
         nonnull_count, other_count, drift
         FROM $view ORDER BY day""")
+    }),
+    "q71_stream_cont_drift" -> ((s, dir) => {
+      // binned numeric drift monitor over events.value — the batch
+      // finite-endpoint continuous-KL semantics per day window
+      val staged = Files.createTempDirectory("graft_stream_ev2").toString
+      s.read.parquet(s"$dir/events.parquet").repartition(4)
+        .write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val view = runToMemory(StreamingValidate.continuousDriftStream(
+        stream, "value", "ts", "1 hour", "1 day",
+        CBinEdges, CBinWeights, CThreshold, CTail), "complete")
+      dropStaged(staged)
+      s.sql(s"""SELECT date_format(window.start, 'yyyy-MM-dd') AS day,
+        element_count, __b0 AS b0, __b1 AS b1, __b2 AS b2, __b3 AS b3,
+        below_count, above_count, nonnull_count, drift
+        FROM $view ORDER BY day""")
     }))
 
   // q70 drift parameters (threshold far from the data's actual divergence
@@ -113,6 +131,12 @@ object StreamingQueries {
   private val DriftWeights = Seq(0.5, 0.3, 0.2)
   private val DriftThreshold = 0.5
   private val DriftTail = 0.1
+
+  // q71 continuous-drift parameters over events.value (0.03..327.5)
+  private val CBinEdges = Seq(0.0, 25.0, 50.0, 100.0, 350.0)
+  private val CBinWeights = Seq(0.3, 0.3, 0.3, 0.1)
+  private val CThreshold = 2.0
+  private val CTail = 0.1
 
   // NOTE: stripMargin must run on the literal BEFORE the transcript CTE is
   // prepended — transcriptSql itself contains '||' at line starts, which
@@ -131,7 +155,40 @@ object StreamingQueries {
         s"""SELECT DISTINCT md5(${graft.functions.TextFunctions.normTextSql("text")})
            |  AS text_hash
            |FROM transcripts ORDER BY text_hash NULLS FIRST""".stripMargin),
-    "q70_stream_kl_drift" -> q70Oracle)
+    "q70_stream_kl_drift" -> q70Oracle,
+    "q71_stream_cont_drift" -> q71Oracle)
+
+  /** q71: per-day histogram + the same finite-endpoint continuous-KL
+    * arithmetic as the streaming expression (np.histogram last-bin-closed;
+    * holdout-scaled expected weights as Scala-precomputed IEEE doubles). */
+  private def q71Oracle: String = {
+    def qlit(v: Double): String = s"CAST('${v}' AS DOUBLE)"
+    def term(p: String, q: String): String =
+      s"CASE WHEN $p > 0 THEN $p * ln($p / $q) ELSE 0 END"
+    val scaled = CBinWeights.map(_ * (1 - CTail))
+    val binSel = CBinWeights.indices.map { i =>
+      val hi = if (i == CBinWeights.size - 1) s"value <= ${CBinEdges(i + 1)}"
+               else s"value < ${CBinEdges(i + 1)}"
+      s"CAST(sum(CASE WHEN value >= ${CBinEdges(i)} AND $hi THEN 1 ELSE 0 END) AS BIGINT) AS b$i"
+    }
+    val terms =
+      term(s"(CAST(below_count AS DOUBLE) / nn)", qlit(CTail / 2)) +:
+        CBinWeights.indices.map(i =>
+          term(s"(CAST(b$i AS DOUBLE) / nn)", qlit(scaled(i)))) :+
+        term(s"(CAST(above_count AS DOUBLE) / nn)", qlit(CTail / 2))
+    s"""SELECT day, element_count, b0, b1, b2, b3, below_count, above_count,
+       |  nn AS nonnull_count,
+       |  NOT ((${terms.mkString(" + ")}) <= $CThreshold) AS drift
+       |FROM (
+       |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       |    count(*) AS element_count,
+       |    ${binSel.mkString(",\n    ")},
+       |    CAST(sum(CASE WHEN value < ${CBinEdges.head} THEN 1 ELSE 0 END) AS BIGINT) AS below_count,
+       |    CAST(sum(CASE WHEN value > ${CBinEdges.last} THEN 1 ELSE 0 END) AS BIGINT) AS above_count,
+       |    CAST(count(value) AS BIGINT) AS nn
+       |  FROM events GROUP BY 1) w
+       |ORDER BY day""".stripMargin
+  }
 
   /** Same KL arithmetic as the streaming expression: p from counts, q
     * coefficients precomputed in SCALA and emitted as CAST('…' AS DOUBLE)

@@ -120,23 +120,85 @@ object StreamingValidate {
     // in Scala so both engines see identical IEEE doubles)
     val nn = col("__nn").cast("double")
     val wSum = weights.sum
-    def term(p: org.apache.spark.sql.Column, q: Double) =
-      if (q == 0.0)
-        when(p > 0.0, lit(Double.PositiveInfinity)).otherwise(lit(0.0))
-      else when(p > 0.0, p * log(p / lit(q))).otherwise(lit(0.0))
     val inTerms = values.indices.map { i =>
-      term(col(s"__n$i").cast("double") / nn,
+      klTerm(col(s"__n$i").cast("double") / nn,
         weights(i) / wSum * (1 - tailWeightHoldout))
     }
     val otherCount =
       col("__nn") - values.indices.map(i => col(s"__n$i")).reduce(_ + _)
-    val otherTerm = term(otherCount.cast("double") / nn, tailWeightHoldout)
+    val otherTerm = klTerm(otherCount.cast("double") / nn, tailWeightHoldout)
     val kl = (inTerms :+ otherTerm).reduce(_ + _)
     windowed.select(
       (Seq(col("window"), col("element_count")) ++
         values.indices.map(i => col(s"__n$i")) :+
         col("__nn").as("nonnull_count") :+
         otherCount.as("other_count") :+
+        kl.as("kl") :+
+        (!(kl <= lit(threshold))).as("drift")): _*)
+  }
+
+  /** scipy-entropy term as a Column: p·ln(p/q), with q=0 driving +∞ on any
+    * observed mass (shared by the two drift monitors). */
+  private def klTerm(p: org.apache.spark.sql.Column, q: Double) =
+    if (q == 0.0)
+      when(p > 0.0, lit(Double.PositiveInfinity)).otherwise(lit(0.0))
+    else when(p > 0.0, p * log(p / lit(q))).otherwise(lit(0.0))
+
+  /** Continuous (binned) drift monitor — the numeric twin of
+    * [[categoricalDriftStream]], and EXACTLY the batch finite-endpoint
+    * continuous KL semantics (two tail buckets at tailWeightHoldout/2,
+    * internal holdout spread over zero-weight bins): per-window histogram
+    * counts as sum-when columns in one watermarked aggregate, divergence
+    * as a post-aggregation expression. np.histogram bin semantics (last
+    * bin right-closed). */
+  def continuousDriftStream(stream: DataFrame, valueCol: String,
+      tsCol: String, watermarkDelay: String, windowDur: String,
+      binEdges: Seq[Double], binWeights: Seq[Double], threshold: Double,
+      tailWeightHoldout: Double = 0.0,
+      internalWeightHoldout: Double = 0.0): DataFrame = {
+    require(binEdges.size == binWeights.size + 1 &&
+      binEdges.sliding(2).forall(p => p(1) > p.head),
+      "bins must be |weights|+1 strictly increasing edges")
+    val c = col(valueCol)
+    val binCols = binWeights.indices.map { i =>
+      val inBin =
+        if (i == binWeights.size - 1) c >= binEdges(i) && c <= binEdges(i + 1)
+        else c >= binEdges(i) && c < binEdges(i + 1)
+      sum(when(c.isNotNull && inBin, 1L).otherwise(0L)).as(s"__b$i")
+    }
+    val windowed = stream
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("element_count"),
+        (binCols ++ Seq(
+          sum(when(c.isNotNull && c < binEdges.head, 1L).otherwise(0L))
+            .as("__below"),
+          sum(when(c.isNotNull && c > binEdges.last, 1L).otherwise(0L))
+            .as("__above"),
+          count(c).as("__nn"))): _*)
+    // expected weights: holdout-scaled + internal fill, precomputed in
+    // Scala so both engines see identical IEEE doubles
+    val scaled = binWeights.map(_ *
+      (1 - tailWeightHoldout - internalWeightHoldout))
+    val zeroCount = scaled.count(_ == 0.0)
+    val expW =
+      if (internalWeightHoldout > 0 && zeroCount > 0)
+        scaled.map(w => if (w == 0.0) internalWeightHoldout / zeroCount else w)
+      else scaled
+    val nn = col("__nn").cast("double")
+    val terms =
+      klTerm(col("__below").cast("double") / nn, tailWeightHoldout / 2) +:
+        binWeights.indices.map(i =>
+          klTerm(col(s"__b$i").cast("double") / nn, expW(i))) :+
+        klTerm(col("__above").cast("double") / nn, tailWeightHoldout / 2)
+    val kl = terms.reduce(_ + _)
+    windowed.select(
+      (Seq(col("window"), col("element_count")) ++
+        binWeights.indices.map(i => col(s"__b$i")) :+
+        col("__below").as("below_count") :+
+        col("__above").as("above_count") :+
+        col("__nn").as("nonnull_count") :+
         kl.as("kl") :+
         (!(kl <= lit(threshold))).as("drift")): _*)
   }
