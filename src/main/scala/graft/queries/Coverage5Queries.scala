@@ -82,6 +82,14 @@ object Coverage5Queries {
         .select(col("id").cast("bigint").as("id"),
           col("cluster").cast("bigint").as("cluster"))
         .orderBy("id")
+    }),
+    /** Suite profiler (the reference's UserConfigurableProfiler flow):
+      * derive a suite FROM the batch — emitted as rows so DuckDB can
+      * reproduce every derived parameter from the same table. */
+    "q72_profile_suite" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      SuiteProfiler.profileRows(t(dir, "nation"))
+        .orderBy(col("column"), col("expectation_type"))
     }))
 
   // --- oracles ---------------------------------------------------------------
@@ -120,5 +128,37 @@ object Coverage5Queries {
     "q69_cc_star_chain" ->
       """SELECT CAST(doc_id AS BIGINT) AS id,
         | CAST(doc_id - (doc_id % 10) AS BIGINT) AS cluster
-        |FROM documents ORDER BY id""".stripMargin)
+        |FROM documents ORDER BY id""".stripMargin,
+    "q72_profile_suite" -> q72Oracle)
+
+  /** Reproduce every profiler-derived parameter from the nation table:
+    * integer-arithmetic mostly percent, min/max bounds, length bounds,
+    * gated sorted value sets (HAVING mirrors the profiler's cardinality
+    * gate), and data-driven uniqueness rows. */
+  private def q72Oracle: String = {
+    val header = """CAST(NULL AS VARCHAR) AS "column",
+      | 'expect_table_row_count_to_be_between' AS expectation_type,
+      | CAST(count(*) AS DOUBLE) AS p1, CAST(count(*) AS DOUBLE) AS p2,
+      | CAST(NULL AS VARCHAR) AS set_csv""".stripMargin
+    def colRows(c: String, numeric: Boolean): Seq[String] = Seq(
+      s"""SELECT '$c', 'expect_column_values_to_not_be_null',
+         | CAST((count($c)*100)//count(*) AS DOUBLE), NULL, NULL FROM nation""".stripMargin,
+      if (numeric)
+        s"""SELECT '$c', 'expect_column_values_to_be_between',
+           | CAST(min($c) AS DOUBLE), CAST(max($c) AS DOUBLE), NULL FROM nation""".stripMargin
+      else
+        s"""SELECT '$c', 'expect_column_value_lengths_to_be_between',
+           | CAST(min(length($c)) AS DOUBLE), CAST(max(length($c)) AS DOUBLE), NULL FROM nation""".stripMargin,
+      s"""SELECT '$c', 'expect_column_distinct_values_to_be_in_set', NULL, NULL,
+         | string_agg(DISTINCT CAST($c AS VARCHAR), ',' ORDER BY CAST($c AS VARCHAR))
+         |FROM nation HAVING count(DISTINCT $c) BETWEEN 1 AND 20""".stripMargin,
+      s"""SELECT '$c', 'expect_column_values_to_be_unique', NULL, NULL, NULL
+         |FROM nation HAVING count($c) > 0 AND count(DISTINCT $c) = count($c)""".stripMargin)
+    val branches =
+      s"SELECT $header FROM nation" +:
+        Seq("n_nationkey" -> true, "n_name" -> false, "n_regionkey" -> true)
+          .flatMap { case (c, num) => colRows(c, num) }
+    branches.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) u ORDER BY \"column\" NULLS FIRST, expectation_type")
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+class ProfilerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profiled suite validates green against its own batch") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val suite = SuiteProfiler.profile(df)
+    val sr = Graft.validate(df, suite)
+    assert(sr.success, sr.results.filterNot(_.success).map(e =>
+      s"${e.expectationType}/${e.kwargs.get("column")}: ${e.result} ${e.exception}"))
+    assert(sr.results.size == 10) // 1 table + 3 not_null + 2 between + 1 length + 1 set + 2 unique
+  }
+
+  test("derivation rules: mostly percent, set gating, uniqueness") {
+    val df = Seq(
+      (1, Some("a"), "x"), (2, Some("a"), "y"), (3, Some("b"), "z"),
+      (4, None, "x")).toDF("id", "cat", "dup")
+    val suite = SuiteProfiler.profile(df, cardinalityLimit = 2)
+    val byType = suite.expectations.groupBy(_.expectationType)
+
+    // cat: 3/4 non-null → mostly 75% via integer arithmetic
+    val notNulls = byType("expect_column_values_to_not_be_null")
+      .collect { case e: ExpectColumnValuesToNotBeNull => e.column -> e.mostly }
+      .toMap
+    assert(notNulls("cat") == 0.75)
+    assert(notNulls("id") == 1.0)
+
+    // set only for ≤2 distinct: cat (a,b); id (4) and dup (3) are above
+    val sets = byType("expect_column_distinct_values_to_be_in_set")
+      .collect { case e: ExpectColumnDistinctValuesToBeInSet => e.column -> e.valueSet }
+      .toMap
+    assert(sets.keySet == Set("cat"))
+    assert(sets("cat") == Seq("a", "b"))
+
+    // unique: id (all distinct) and cat (a,a,b → no); dup has a repeat
+    val uniques = byType("expect_column_values_to_be_unique")
+      .collect { case e: ExpectColumnValuesToBeUnique => e.column }.toSet
+    assert(uniques == Set("id"))
+
+    // between bounds from observed min/max
+    val betweens = byType("expect_column_values_to_be_between")
+      .collect { case e: ExpectColumnValuesToBeBetween =>
+        e.column -> (e.minValue, e.maxValue) }.toMap
+    assert(betweens("id") == (Some(1.0), Some(4.0)))
+
+    // the derived suite is green on the batch it came from
+    assert(Graft.validate(df, suite).success)
+  }
+}
