@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Coverage2Queries, Coverage3Queries, Coverage4Queries, Coverage5Queries, CoverageQueries, DedupQueries, JsonQueries, MultimodalQueries, StreamingQueries, TextQueries}
+import graft.queries.{CoreQueries, Coverage2Queries, Coverage3Queries, Coverage4Queries, Coverage5Queries, CoverageQueries, DedupQueries, JsonQueries, MultimodalQueries, PipelineQueries, StreamingQueries, TextQueries}
 import graft.transcripts.{QualityFilter, Transcripts}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -16,7 +16,8 @@ object SparkEntry {
     CoreQueries.queries ++ DedupQueries.queries ++ TextQueries.queries ++
       MultimodalQueries.queries ++ CoverageQueries.queries ++ JsonQueries.queries ++
       Coverage2Queries.queries ++ Coverage3Queries.queries ++
-      Coverage4Queries.queries ++ Coverage5Queries.queries ++ StreamingQueries.queries
+      Coverage4Queries.queries ++ Coverage5Queries.queries ++
+      PipelineQueries.queries ++ StreamingQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check. */
@@ -24,5 +25,6 @@ object SparkEntry {
     CoreQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles ++
       MultimodalQueries.oracles ++ CoverageQueries.oracles ++ JsonQueries.oracles ++
       Coverage2Queries.oracles ++ Coverage3Queries.oracles ++
-      Coverage4Queries.oracles ++ Coverage5Queries.oracles ++ StreamingQueries.oracles
+      Coverage4Queries.oracles ++ Coverage5Queries.oracles ++
+      PipelineQueries.oracles ++ StreamingQueries.oracles
 }

@@ -345,4 +345,48 @@ object Dedup {
       .filter(col("__cc_cluster").isNull || col("__cc_cluster") === df(idCol))
       .drop("__cc_id", "__cc_cluster")
   }
+
+  /** Benchmark decontamination: flag corpus documents that share at least
+    * one word n-gram shingle with any benchmark document (the published
+    * GPT-3 appendix-C / PaLM held-out-overlap filter, recast as a
+    * broadcast semi-join). Returns one row per contaminated document:
+    * (idCol, n_hits) where n_hits counts the document's DISTINCT shingles
+    * that occur anywhere in the benchmark.
+    *
+    * Scale shape: the benchmark shingle dictionary is deduped and (by
+    * default) broadcast — benchmarks are MBs while corpora are TBs, so the
+    * corpus side streams through a map-side broadcast semi-join with NO
+    * corpus shuffle before the tiny contaminated-ids aggregation. With
+    * `broadcastHint = false` the join shuffles (shingle-md5, id) postings
+    * only — never document text. Unlike the near-dup paths there is NO
+    * frequency pruning: dropping a hot shingle could hide real
+    * contamination, so this path is exact by construction. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      broadcastHint: Boolean = true): DataFrame = {
+    import graft.functions.MinHashSig
+    // shingles_native emits the DISTINCT shingle set per document, so the
+    // per-doc posting rows are already unique and count(*) below counts
+    // distinct contaminated shingles
+    val corpusPost = corpus.select(col(idCol).as("__cid"),
+        explode(MinHashSig.shingles_native(col(textCol), n)).as("__s"))
+      .select(col("__cid"), md5(col("__s")).as("sh_hash"))
+    val benchSh = benchmark
+      .select(explode(MinHashSig.shingles_native(col(textCol), n)).as("__s"))
+      .select(md5(col("__s")).as("sh_hash")).distinct()
+    val dict = if (broadcastHint) broadcast(benchSh) else benchSh
+    corpusPost.join(dict, Seq("sh_hash"), "left_semi")
+      .groupBy("__cid")
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumnRenamed("__cid", idCol)
+  }
+
+  /** Drop contaminated documents (see decontaminate): anti-join the
+    * corpus on the contaminated-id set. */
+  def removeContaminated(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val hits = decontaminate(corpus, benchmark, idCol, textCol, n)
+      .select(col(idCol).as("__hit_id"))
+    corpus.join(broadcast(hits), corpus(idCol) === col("__hit_id"), "left_anti")
+  }
 }

@@ -304,4 +304,23 @@ class DedupSpec extends AnyFunSuite {
       s"exhaustive path ran the band kernel " +
         s"${graft.functions.MinHashSig.bandsCalls.sum()} times for $n docs")
   }
+
+  test("decontaminate flags n-gram overlap with the benchmark, exactly") {
+    val benchmark = Seq(
+      (100L, "alpha beta gamma delta"),
+      (101L, "tiny doc")) // < 3 words → whole-norm shingle
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix alpha beta gamma suffix words here"), // shares 1 shingle
+      (2L, "completely different content about other things entirely"),
+      (3L, "Tiny  DOC"), // whole-norm match after normalization
+      (4L, "alpha beta gamma delta echo foxtrot")) // shares 2 shingles
+      .toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(corpus, benchmark, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L, 3L -> 1L, 4L -> 2L))
+    val kept = Dedup.removeContaminated(corpus, benchmark, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
 }

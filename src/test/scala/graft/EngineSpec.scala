@@ -607,11 +607,11 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("unexpected-rows query: true count + capped sample in ONE job") {
-    val plans = collection.mutable.ArrayBuffer.empty[String]
+    val plans = collection.mutable.ArrayBuffer.empty[(String, String)]
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(fn: String,
           qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
-        plans.synchronized { plans += fn }
+        plans.synchronized { plans += ((fn, qe.analyzed.toString)) }
       override def onFailure(fn: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
@@ -628,8 +628,13 @@ class EngineSpec extends AnyFunSuite {
       assert(r.result("details").asInstanceOf[Map[String, Any]]("unexpected_rows")
         .asInstanceOf[Seq[_]].size == 20)
       Thread.sleep(1500)
-      // "command" entries are the temp-view create/drop, not data jobs
-      val snap = plans.synchronized(plans.toList).filterNot(_ == "command")
+      // "command" entries are the temp-view create/drop, not data jobs.
+      // Listener delivery is async, so the pre-registration big.count()
+      // event can land AFTER registration — keep only plans carrying this
+      // query's unique predicate before counting jobs.
+      val snap = plans.synchronized(plans.toList)
+        .filter { case (fn, plan) => fn != "command" && plan.contains("> 0)") }
+        .map(_._1)
       assert(snap.size == 1,
         s"count + sample must fuse into one job, saw ${snap.size}: $snap")
     } finally spark.listenerManager.unregister(listener)
