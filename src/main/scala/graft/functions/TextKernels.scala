@@ -80,15 +80,23 @@ object TextKernels {
     private var ends = new Array[Int](256)
     private var hashes = new Array[Int](256)
     private var slots = new Array[Int](256)
+    private var counts = new Array[Int](256)
     private var n = 0
+    private var max = 0
 
     def reset(): Unit = {
       var i = 0
       while (i < n) { table(slots(i)) = 0; i += 1 }
       n = 0
+      max = 0
     }
 
     def size: Int = n
+
+    /** Occurrence count of the most frequent token since reset() (counts
+      * are maintained in add(); stale slots are re-initialized on reuse,
+      * so no extra reset cost). */
+    def maxCount: Int = max
 
     @inline private def rangeEq(text: String, s0: Int, s1: Int, len: Int): Boolean = {
       var j = 0
@@ -112,12 +120,18 @@ object TextKernels {
         if (t == 0) {
           table(idx) = n + 1
           starts(n) = s; ends(n) = e; hashes(n) = h; slots(n) = idx
+          counts(n) = 1
+          if (max < 1) max = 1
           n += 1
           return
         }
         val o = t - 1
         if (hashes(o) == h && ends(o) - starts(o) == e - s &&
-          rangeEq(text, starts(o), s, e - s)) return
+          rangeEq(text, starts(o), s, e - s)) {
+          counts(o) += 1
+          if (counts(o) > max) max = counts(o)
+          return
+        }
         idx = (idx + 1) & mask
       }
     }
@@ -129,6 +143,7 @@ object TextKernels {
       ends = java.util.Arrays.copyOf(ends, ends.length << 1)
       hashes = java.util.Arrays.copyOf(hashes, hashes.length << 1)
       slots = java.util.Arrays.copyOf(slots, slots.length << 1)
+      counts = java.util.Arrays.copyOf(counts, counts.length << 1)
       var o = 0
       while (o < n) {
         var idx = hashes(o) & mask

@@ -35,6 +35,28 @@ object PipelineQueries {
         benchmark = d.filter(col("doc_id") % 37 === 0),
         idCol = "doc_id", textCol = "text")
         .orderBy("doc_id")
+    }),
+
+    /** Gopher-style repetition signals per document: most-common-word
+      * fraction and duplicate-2-gram fraction, from ONE map-side pass
+      * (native repetition_stats) — integer counts, so fractions are a
+      * single bit-deterministic IEEE division on both sides. */
+    "q74_repetition" -> ((s, dir) => {
+      import graft.functions.{RepetitionStats, TextFunctions}
+      val r = docs(s, dir).select(col("doc_id"),
+        RepetitionStats.repetition_stats(
+          TextFunctions.normText(col("text"))).as("r"))
+      r.select(col("doc_id"),
+          col("r.n_words").as("n_words"),
+          col("r.n_distinct").as("n_distinct"),
+          col("r.top_count").as("top_count"),
+          (col("r.top_count").cast(DoubleType) / col("r.n_words"))
+            .as("top_word_frac"),
+          when(col("r.n_2grams") === 0, lit(null).cast(DoubleType))
+            .otherwise(lit(1.0) -
+              col("r.n_distinct_2grams").cast(DoubleType) / col("r.n_2grams"))
+            .as("dup_2gram_frac"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -44,5 +66,24 @@ object PipelineQueries {
          |cpost AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 37 <> 0),
          |bsh AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 37 = 0)
          |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
-         |FROM cpost c JOIN bsh b USING (sg) GROUP BY 1 ORDER BY doc_id""".stripMargin)
+         |FROM cpost c JOIN bsh b USING (sg) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q74_repetition" ->
+      s"""WITH docs AS (SELECT * FROM documents),
+         |normd AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM docs),
+         |wc AS (SELECT doc_id, word, count(*) AS n
+         |  FROM (SELECT doc_id, unnest(w) AS word FROM normd) GROUP BY 1, 2),
+         |wa AS (SELECT doc_id, CAST(sum(n) AS INT) AS n_words,
+         |  CAST(count(*) AS INT) AS n_distinct, CAST(max(n) AS INT) AS top_count
+         |  FROM wc GROUP BY 1),
+         |g2 AS (SELECT doc_id,
+         |  CAST(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS INT) AS n2,
+         |  CAST(CASE WHEN len(w) >= 2 THEN len(list_distinct(
+         |    list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])))
+         |    ELSE 0 END AS INT) AS d2 FROM normd)
+         |SELECT doc_id, n_words, n_distinct, top_count,
+         |  CAST(top_count AS DOUBLE) / n_words AS top_word_frac,
+         |  CASE WHEN n2 = 0 THEN NULL
+         |       ELSE 1.0 - CAST(d2 AS DOUBLE) / n2 END AS dup_2gram_frac
+         |FROM wa JOIN g2 USING (doc_id) ORDER BY doc_id""".stripMargin)
 }

@@ -196,4 +196,25 @@ class QualityFilterSpec extends AnyFunSuite {
         s"unexpected Sort in the quality-filter plan:\n$plan")
     } finally { t.unpersist(); () }
   }
+
+  test("repetition_stats: counts, top word, 2-gram dups, growth, null") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
+    import graft.functions.RepetitionStats.repetition_stats
+    import spark.implicits._
+    def stats(s: String): Row =
+      Seq(s).toDF("t").select(repetition_stats(col("t")).as("r"))
+        .select("r.*").collect().head
+    // "a a a b b c": 6 words, 3 distinct, top=3; 2-grams
+    // [a a, a a, a b, b b, b c] → 5 total, 4 distinct
+    assert(stats("a a a b b c") == Row(6, 3, 3, 5, 4))
+    assert(stats("solo") == Row(1, 1, 1, 0, 0))
+    // growth past the 256-entry scratch: 300 distinct + 5 repeats of w0
+    val many = ((0 until 300).map(i => s"w$i") ++ Seq.fill(5)("w0")).mkString(" ")
+    assert(stats(many) == Row(305, 300, 6, 304, 301))
+    // null → all-zero row (engine treats missing text as empty)
+    val r = Seq((1, Option.empty[String])).toDF("id", "t")
+      .select(repetition_stats(col("t")).as("r")).select("r.*").collect().head
+    assert(r == Row(0, 0, 0, 0, 0))
+  }
 }
