@@ -57,7 +57,21 @@ object PipelineQueries {
               col("r.n_distinct_2grams").cast(DoubleType) / col("r.n_2grams"))
             .as("dup_2gram_frac"))
         .orderBy("doc_id")
+    }),
+
+    /** Weighted source mixing: sample each of the 20 sources at a rate
+      * cycling 1.0/0.5/0.25/0.125 (binary fractions → exact thresholds),
+      * then report achieved counts per source. */
+    "q75_mix_sample" -> ((s, dir) => {
+      graft.sources.Partitioners.sampleWeighted(
+          docs(s, dir), "doc_id", "source", mixRates)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")
     }))
+
+  /** src0..src19 → rate by index mod 4 (shared with the q75 oracle). */
+  private val mixRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> Seq(1.0, 0.5, 0.25, 0.125)(i % 4)).toMap
 
   val oracles: Map[String, String] = Map(
     "q73_decontaminate" ->
@@ -85,5 +99,15 @@ object PipelineQueries {
          |  CAST(top_count AS DOUBLE) / n_words AS top_word_frac,
          |  CASE WHEN n2 = 0 THEN NULL
          |       ELSE 1.0 - CAST(d2 AS DOUBLE) / n2 END AS dup_2gram_frac
-         |FROM wa JOIN g2 USING (doc_id) ORDER BY doc_id""".stripMargin)
+         |FROM wa JOIN g2 USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q75_mix_sample" -> {
+      val cases = mixRates.toSeq.sortBy(_._1).map { case (g, r) =>
+        s"WHEN source = '$g' THEN ${graft.sources.Partitioners.rateThreshold(r)}"
+      }.mkString(" ")
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_kept FROM documents
+         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)) AS BIGINT)
+         |  < (CASE $cases ELSE ${graft.sources.Partitioners.rateThreshold(1.0)} END)
+         |GROUP BY source ORDER BY source""".stripMargin
+    })
 }

@@ -86,6 +86,32 @@ object Partitioners {
         16, 10).cast(LongType) < lit(threshold))
   }
 
+  /** Per-group weighted sampling for corpus mixing (the "data mixture"
+    * step of training-data pipelines: sample each source at its own
+    * rate). A row is kept iff the deterministic md5 fraction of
+    * "key:seed" (same construction as sampleRandomDeterministic) falls
+    * below its group's rate; groups absent from `rates` use
+    * `defaultRate`. Rates are converted to integer thresholds ONCE here,
+    * so oracles can inject the same literals and the comparison is exact
+    * long arithmetic on both engines. Deterministic, partitioning-stable,
+    * and resumable — the rate table is a tiny literal CASE chain (no join
+    * at all), so the filter is map-side and codegen'd. */
+  def sampleWeighted(df: DataFrame, keyCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      seed: Long = 0L): DataFrame = {
+    val tcol = rates.toSeq.sortBy(_._1).foldLeft(lit(rateThreshold(defaultRate))) {
+      case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit(rateThreshold(r))).otherwise(acc)
+    }
+    df.filter(
+      conv(substring(md5(concat(col(keyCol).cast(StringType), lit(s":$seed"))), 1, 8),
+        16, 10).cast(LongType) < tcol)
+  }
+
+  /** Keep threshold on the first 8 md5 hex digits for rate p (shared by
+    * sampleWeighted and its oracles). */
+  def rateThreshold(p: Double): Long = (p * 4294967296.0).toLong
+
   def sampleMod(df: DataFrame, column: String, mod: Int, value: Int): DataFrame =
     df.filter(col(column) % mod === value)
 

@@ -115,4 +115,22 @@ class PartitionersSpec extends AnyFunSuite {
         Seq(0.0, 0.25, 0.5), Seq(0.5, 0.5), 100.0))))
     assert(!outside.success) // values beyond last edge → ∞
   }
+
+  test("weighted mixing sampler: rates, default, nested determinism") {
+    import graft.sources.Partitioners
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "g")
+    // rate 1.0 keeps every row of the group; rate 0.0 keeps none
+    val full = Partitioners.sampleWeighted(df, "id", "g",
+      Map("a" -> 1.0, "b" -> 0.0))
+    assert(full.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 1000L))
+    // unlisted groups use defaultRate; thresholds nest: keep(0.25) ⊆ keep(0.5)
+    def ids(p: Double) = Partitioners.sampleWeighted(df, "id", "g",
+      Map("a" -> p), defaultRate = p).select("id").as[Long].collect().toSet
+    val (q, h) = (ids(0.25), ids(0.5))
+    assert(q.subsetOf(h) && q.nonEmpty && h.size < 2000)
+    assert(ids(0.5) == h) // deterministic across runs
+  }
 }
