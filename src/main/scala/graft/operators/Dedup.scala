@@ -346,6 +346,26 @@ object Dedup {
       .drop("__cc_id", "__cc_cluster")
   }
 
+  /** C4-style corpus-level exact keep-first dedup: keep only the FIRST
+    * occurrence (minimum of `ordCols`, compared lexicographically) of
+    * every distinct `keyCol` value, drop all later copies. C4 applied
+    * this at the line level with "first" = corpus position; here key and
+    * order are caller-chosen (e.g. key = md5 of normalized turn text,
+    * order = (conv_id, turn_idx)).
+    *
+    * Scale shape: group-by on the key digest with a map-side partial min,
+    * then one hash join back on the digest — shuffle rows carry the
+    * 32-byte key + the order tuple, never the text. Deterministic for
+    * total `ordCols` orderings (ties keep every tied row). */
+  def keepFirst(df: DataFrame, keyCol: Column, ordCols: Seq[Column]): DataFrame = {
+    val keyed = df.withColumn("__kf_key", keyCol)
+    val firsts = keyed.groupBy(col("__kf_key"))
+      .agg(min(struct(ordCols: _*)).as("__kf_min"))
+    keyed.join(firsts, Seq("__kf_key"))
+      .filter(struct(ordCols: _*) === col("__kf_min"))
+      .drop("__kf_key", "__kf_min")
+  }
+
   /** Benchmark decontamination: flag corpus documents that share at least
     * one word n-gram shingle with any benchmark document (the published
     * GPT-3 appendix-C / PaLM held-out-overlap filter, recast as a

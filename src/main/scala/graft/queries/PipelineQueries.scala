@@ -67,11 +67,27 @@ object PipelineQueries {
           docs(s, dir), "doc_id", "source", mixRates)
         .groupBy("source").agg(count(lit(1)).as("n_kept"))
         .orderBy("source")
-    }))
+    }),
+
+    "q76_keepfirst_turns" -> (q76(_, _)))
 
   /** src0..src19 → rate by index mod 4 (shared with the q75 oracle). */
   private val mixRates: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> Seq(1.0, 0.5, 0.25, 0.125)(i % 4)).toMap
+
+  /** C4-style keep-first exact dedup of transcript turns: first
+    * (conv_id, turn_idx) occurrence of each normalized turn text
+    * survives; the synthesized transcripts are heavily repetitive, so
+    * this prunes most of the corpus. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val t = graft.transcripts.Transcripts.fromEvents(s, dir)
+    Dedup.keepFirst(t,
+        md5(graft.functions.TextFunctions.normText(col("text"))),
+        Seq(col("conv_id"), col("turn_idx")))
+      .select(col("conv_id"), col("turn_idx"),
+        md5(graft.functions.TextFunctions.normText(col("text"))).as("text_hash"))
+      .orderBy("conv_id", "turn_idx")
+  }
 
   val oracles: Map[String, String] = Map(
     "q73_decontaminate" ->
@@ -109,5 +125,18 @@ object PipelineQueries {
          |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)) AS BIGINT)
          |  < (CASE $cases ELSE ${graft.sources.Partitioners.rateThreshold(1.0)} END)
          |GROUP BY source ORDER BY source""".stripMargin
-    })
+    },
+
+    // NOTE: no stripMargin here — the interpolated transcript SQL contains
+    // lines beginning with "||" that stripMargin would corrupt into "|"
+    "q76_keepfirst_turns" ->
+      (graft.transcripts.Transcripts.oracleCtePrefix + s""",
+h AS (SELECT conv_id, turn_idx,
+  md5(${graft.functions.TextFunctions.normTextSql("text")}) AS text_hash
+  FROM transcripts),
+r AS (SELECT conv_id, turn_idx, text_hash,
+  row_number() OVER (PARTITION BY text_hash ORDER BY conv_id, turn_idx) AS rn
+  FROM h)
+SELECT conv_id, turn_idx, text_hash FROM r WHERE rn = 1
+ORDER BY conv_id, turn_idx"""))
 }

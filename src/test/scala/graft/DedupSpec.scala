@@ -305,6 +305,18 @@ class DedupSpec extends AnyFunSuite {
         s"${graft.functions.MinHashSig.bandsCalls.sum()} times for $n docs")
   }
 
+  test("keepFirst keeps the lexicographically-minimum occurrence per key") {
+    val d = Seq(
+      ("c1", 0, "x"), ("c1", 1, "y"), ("c2", 0, "x"), ("c2", 1, "z"),
+      ("c0", 5, "x"))
+      .toDF("conv", "idx", "t")
+    val kept = Dedup.keepFirst(d, col("t"), Seq(col("conv"), col("idx")))
+      .select("conv", "idx", "t").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    // "x" first at (c0,5): conv ranks before idx in the order tuple
+    assert(kept == Set(("c0", 5, "x"), ("c1", 1, "y"), ("c2", 1, "z")))
+  }
+
   test("decontaminate flags n-gram overlap with the benchmark, exactly") {
     val benchmark = Seq(
       (100L, "alpha beta gamma delta"),
