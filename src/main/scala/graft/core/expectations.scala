@@ -444,7 +444,8 @@ final case class CustomMulticolumnMapExpectation(
   * column_values_z_score.py:60-105. */
 final case class ExpectColumnValueZScoresToBeLessThan(column: String,
     threshold: Double, doubleSided: Boolean = true, mostly: Double = 1.0,
-    override val rowCondition: Option[String] = None) extends ColumnMapExpectation {
+    override val rowCondition: Option[String] = None,
+    exactMoments: Boolean = false) extends ColumnMapExpectation {
   val expectationType = "expect_column_value_z_scores_to_be_less_than"
   def kwargs = Map("column" -> column, "threshold" -> threshold,
     "double_sided" -> doubleSided, "mostly" -> mostly)
@@ -653,6 +654,26 @@ object BetweenCheck {
     }
 }
 
+/** Exact-moment mean/stddev forms: over integer-valued inputs the double
+  * sums are order-independent (every partial sum stays an exact integer
+  * below 2^53), so these are bit-reproducible across engines AND across
+  * partitionings — where Welford-merged stddev_samp is neither. They are
+  * also cheaper at scale: plain codegen'd sums with map-side combine
+  * instead of a merge-state object aggregate. Caveat: the textbook
+  * cancellation risk applies to large-mean/small-variance NON-integer
+  * data — keep stddev_samp (the default) there. */
+object Moments {
+  def meanExact(c0: Column): Column = {
+    val c = c0.cast(DoubleType)
+    sum(c) / count(c).cast(DoubleType)
+  }
+  def stddevExact(c0: Column): Column = {
+    val c = c0.cast(DoubleType)
+    val n = count(c).cast(DoubleType)
+    sqrt((sum(c * c) - sum(c) * sum(c) / n) / (n - lit(1.0)))
+  }
+}
+
 sealed abstract class ColumnAggBetween(metric: String, aggFn: Column => Column)
     extends AggExpectation {
   def column: String
@@ -716,11 +737,17 @@ final case class ExpectColumnMeanToBeBetween(column: String,
     override val strictMin: Boolean = false, override val strictMax: Boolean = false,
     override val rowCondition: Option[String] = None)
     extends ColumnAggBetween("mean", avg)
+/** `exactMoments = true` swaps Welford stddev_samp for the bit-reproducible
+  * sum-of-squares form (see Moments) — the right choice for integer-valued
+  * columns, where it is both deterministic under repartitioning and
+  * oracle-checkable. */
 final case class ExpectColumnStdevToBeBetween(column: String,
     minValue: Option[Any] = None, maxValue: Option[Any] = None,
     override val strictMin: Boolean = false, override val strictMax: Boolean = false,
-    override val rowCondition: Option[String] = None)
-    extends ColumnAggBetween("stdev", stddev_samp)
+    override val rowCondition: Option[String] = None,
+    exactMoments: Boolean = false)
+    extends ColumnAggBetween("stdev",
+      c => if (exactMoments) Moments.stddevExact(c) else stddev_samp(c))
 final case class ExpectColumnUniqueValueCountToBeBetween(column: String,
     minValue: Option[Any] = None, maxValue: Option[Any] = None,
     override val rowCondition: Option[String] = None)

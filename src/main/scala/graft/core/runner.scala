@@ -261,19 +261,25 @@ final class SuiteRunner(
     val zExps = mapExps.collect {
       case (z: ExpectColumnValueZScoresToBeLessThan, i) => (z, i)
     }
-    val zCols = zExps.map(_._1.column).distinct
-    val zStats: Map[String, Try[(Double, Double)]] =
-      if (zCols.isEmpty) Map.empty
+    // keyed by (column, exactMoments): the same column may be probed with
+    // both the Welford and the bit-reproducible sum-of-squares form
+    val zKeys = zExps.map(z => (z._1.column, z._1.exactMoments)).distinct
+    val zStats: Map[(String, Boolean), Try[(Double, Double)]] =
+      if (zKeys.isEmpty) Map.empty
       else Try(withRetry {
-        val aggsZ = zCols.flatMap(c => Seq(
-          avg(col(c)).as(s"__zm_$c"), stddev_samp(col(c)).as(s"__zs_$c")))
+        val aggsZ = zKeys.zipWithIndex.flatMap { case ((c, exact), k) =>
+          if (exact) Seq(Moments.meanExact(col(c)).as(s"__zm_$k"),
+            Moments.stddevExact(col(c)).as(s"__zs_$k"))
+          else Seq(avg(col(c)).as(s"__zm_$k"),
+            stddev_samp(col(c)).as(s"__zs_$k"))
+        }
         domainDf.agg(aggsZ.head, aggsZ.tail: _*).head()
       }) match {
-        case Failure(ex) => zCols.map(c => c -> Failure[(Double, Double)](ex)).toMap
-        case Success(r) => zCols.map { c =>
-          c -> Try {
-            val m = r.getAs[Any](s"__zm_$c")
-            val s = r.getAs[Any](s"__zs_$c")
+        case Failure(ex) => zKeys.map(kk => kk -> Failure[(Double, Double)](ex)).toMap
+        case Success(r) => zKeys.zipWithIndex.map { case (kk @ (c, _), k) =>
+          kk -> Try {
+            val m = r.getAs[Any](s"__zm_$k")
+            val s = r.getAs[Any](s"__zs_$k")
             require(m != null && s != null,
               s"mean/stddev of '$c' undefined (empty or single-row domain)")
             val sd = s.asInstanceOf[Number].doubleValue()
@@ -282,15 +288,16 @@ final class SuiteRunner(
           }
         }.toMap
       }
-    val zFailed = zExps.filter { case (z, _) => zStats(z.column).isFailure }
+    def zKey(z: ExpectColumnValueZScoresToBeLessThan) = (z.column, z.exactMoments)
+    val zFailed = zExps.filter { case (z, _) => zStats(zKey(z)).isFailure }
     zFailed.foreach { case (z, i) =>
-      record(i, Failure(zStats(z.column).failed.get))
+      record(i, Failure(zStats(zKey(z)).failed.get))
     }
     val zFailedIdx = zFailed.map(_._2).toSet
 
     def unexpectedCond(e: MapExpectation): Column = e match {
       case z: ExpectColumnValueZScoresToBeLessThan =>
-        val (m, s) = zStats(z.column).get
+        val (m, s) = zStats(zKey(z)).get
         col(z.column).isNotNull && !z.expectedWith(col(z.column), m, s)
       case other => other.unexpectedCondition
     }

@@ -69,7 +69,46 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
-    "q76_keepfirst_turns" -> (q76(_, _)))
+    "q76_keepfirst_turns" -> (q76(_, _)),
+
+    /** Exact-moment stddev through the ENGINE path (exactMoments = true):
+      * integer-valued l_quantity makes the sum-of-squares form
+      * bit-reproducible, so the stdev metric — Welford-only and therefore
+      * golden-only until now — gets a full value oracle. Mean rides along
+      * (sum/count is exact for the same reason). */
+    "q77_stdev_exact" -> ((s, dir) => {
+      import s.implicits._
+      import graft.core._
+      val d = s.read.parquet(s"$dir/lineitem.parquet").selectExpr(
+        "CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END AS q")
+      val sr = Graft.validate(d, Suite("stdev_exact", Seq(
+        ExpectColumnStdevToBeBetween("q", Some(10.0), Some(20.0),
+          exactMoments = true),
+        ExpectColumnMeanToBeBetween("q", Some(1.0), Some(50.0)))))
+      sr.results.map(r => (r.expectationType, r.success,
+          r.result("observed_value").asInstanceOf[Number].doubleValue()))
+        .toDF("expectation_type", "success", "observed")
+        .orderBy("expectation_type")
+    }),
+
+    /** Exact-moment z-score (mostly-gated) through the ENGINE path: the
+      * per-row |x-mean|/std comparison is bit-deterministic because the
+      * injected moments are. Uniform 1..50 has ~58% inside |z|<1, so the
+      * 0.9-mostly gate fails — asserted by the oracle's literal FALSE. */
+    "q78_zscore_exact" -> ((s, dir) => {
+      import s.implicits._
+      import graft.core._
+      val d = s.read.parquet(s"$dir/lineitem.parquet").selectExpr(
+        "CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END AS q")
+      val sr = Graft.validate(d, Suite("z_exact", Seq(
+        ExpectColumnValueZScoresToBeLessThan("q", 1.0, doubleSided = true,
+          mostly = 0.9, exactMoments = true))))
+      sr.results.map(r => (r.expectationType, r.success,
+          r.result("element_count").asInstanceOf[Long],
+          r.result("unexpected_count").asInstanceOf[Long]))
+        .toDF("expectation_type", "success", "element_count",
+          "unexpected_count")
+    }))
 
   /** src0..src19 → rate by index mod 4 (shared with the q75 oracle). */
   private val mixRates: Map[String, Double] =
@@ -138,5 +177,31 @@ r AS (SELECT conv_id, turn_idx, text_hash,
   row_number() OVER (PARTITION BY text_hash ORDER BY conv_id, turn_idx) AS rn
   FROM h)
 SELECT conv_id, turn_idx, text_hash FROM r WHERE rn = 1
-ORDER BY conv_id, turn_idx"""))
+ORDER BY conv_id, turn_idx"""),
+
+    "q77_stdev_exact" ->
+      """WITH s AS (SELECT CASE WHEN l_orderkey % 7 = 0 THEN NULL
+        |    ELSE l_quantity END AS q FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'expect_column_mean_to_be_between' AS expectation_type,
+        |    TRUE AS success, avg(q) AS observed FROM s
+        |  UNION ALL
+        |  SELECT 'expect_column_stdev_to_be_between', TRUE,
+        |    sqrt((sum(q*q) - sum(q)*sum(q)/CAST(count(q) AS DOUBLE))
+        |      / (CAST(count(q) AS DOUBLE) - 1.0)) FROM s
+        |) u ORDER BY expectation_type""".stripMargin,
+
+    "q78_zscore_exact" ->
+      """WITH s AS (SELECT CASE WHEN l_orderkey % 7 = 0 THEN NULL
+        |    ELSE l_quantity END AS q FROM lineitem),
+        |m AS (SELECT sum(q)/CAST(count(q) AS DOUBLE) AS mean,
+        |  sqrt((sum(q*q) - sum(q)*sum(q)/CAST(count(q) AS DOUBLE))
+        |    / (CAST(count(q) AS DOUBLE) - 1.0)) AS std,
+        |  CAST(count(*) AS BIGINT) AS ec FROM s)
+        |SELECT 'expect_column_value_z_scores_to_be_less_than' AS expectation_type,
+        |  FALSE AS success, m.ec AS element_count,
+        |  CAST((SELECT count(*) FROM s, m
+        |        WHERE q IS NOT NULL AND NOT (abs((q - m.mean) / m.std) < 1.0))
+        |    AS BIGINT) AS unexpected_count
+        |FROM m""".stripMargin)
 }

@@ -159,6 +159,25 @@ class EngineSpec extends AnyFunSuite {
     assert(r.success)
   }
 
+  test("exact-moment stdev/z-score agree with Welford and mix in one suite") {
+    val d = (1 to 100).toDF("v")
+    // (column, exactMoments) keying: both variants of both metrics in ONE
+    // suite — each resolves its own moments without colliding
+    val sr = Graft.validate(d, Suite("m", Seq(
+      ExpectColumnStdevToBeBetween("v", Some(28.0), Some(30.0), exactMoments = true),
+      ExpectColumnStdevToBeBetween("v", Some(28.0), Some(30.0)),
+      ExpectColumnValueZScoresToBeLessThan("v", 3.0, exactMoments = true),
+      ExpectColumnValueZScoresToBeLessThan("v", 3.0))))
+    assert(sr.success, sr.results.map(_.exception).mkString("; "))
+    val Seq(exact, welford) = sr.results.take(2).map(
+      _.result("observed_value").asInstanceOf[Number].doubleValue())
+    assert(math.abs(exact - welford) < 1e-9, s"$exact vs $welford")
+    // sample sd of 1..100: sum((x-mean)²) = (n³-n)/12 = 83325, over n-1
+    assert(math.abs(exact - math.sqrt(83325.0 / 99)) < 1e-12)
+    // both z-score variants flag the same (zero) outliers
+    assert(sr.results.drop(2).forall(_.result("unexpected_count") == 0L))
+  }
+
   test("aggregate expectations share the fused pass and validate bounds") {
     val sr = Graft.validate(df, Suite("t", Seq(
       ExpectColumnMeanToBeBetween("x", Some(5.0), Some(6.0)),
