@@ -828,17 +828,31 @@ final case class ExpectColumnMedianToBeBetween(column: String,
   }
 }
 
+/** `exact = true` swaps approxQuantile (Greenwald-Khanna sketch — the
+  * right default at scale) for Spark's exact `percentile` aggregate:
+  * linear interpolation identical to DuckDB quantile_cont, so observed
+  * quantile values become oracle-checkable (exact whenever neighbors and
+  * the quantile's fraction are binary-exact, e.g. integer data at
+  * quartiles). Exact percentile materializes per-group value buffers —
+  * prefer the sketch for very high-cardinality columns. */
 final case class ExpectColumnQuantileValuesToBeBetween(column: String,
     quantiles: Seq[Double], ranges: Seq[(Option[Double], Option[Double])],
     relativeError: Double = 1e-4,
-    override val rowCondition: Option[String] = None) extends ValueExpectation {
+    override val rowCondition: Option[String] = None,
+    exact: Boolean = false) extends ValueExpectation {
   require(quantiles.size == ranges.size,
     s"quantile_ranges: ${quantiles.size} quantiles but ${ranges.size} " +
       "value_ranges (the reference rejects mismatched lengths)")
   val expectationType = "expect_column_quantile_values_to_be_between"
   def kwargs = Map("column" -> column, "quantiles" -> quantiles)
   def run(df: DataFrame): Evr = {
-    val vals = df.stat.approxQuantile(column, quantiles.toArray, relativeError)
+    val vals: Array[Double] =
+      if (exact) {
+        val row = df.agg(percentile(col(column).cast(DoubleType),
+          typedLit(quantiles)).as("q")).head()
+        if (row.isNullAt(0)) Array.empty[Double]
+        else row.getAs[scala.collection.Seq[Double]](0).toArray
+      } else df.stat.approxQuantile(column, quantiles.toArray, relativeError)
     // empty column → no observed quantiles → failure, not a vacuous forall
     val ok = vals.length == quantiles.size &&
       vals.zip(ranges).forall { case (v, (lo, hi)) =>

@@ -108,6 +108,26 @@ object PipelineQueries {
           r.result("unexpected_count").asInstanceOf[Long]))
         .toDF("expectation_type", "success", "element_count",
           "unexpected_count")
+    }),
+
+    /** Exact quantiles through the ENGINE path (exact = true): Spark's
+      * exact percentile interpolates identically to DuckDB quantile_cont,
+      * and integer data at quartiles keeps every interpolated value
+      * binary-exact — closing the quantile metric's oracle gap. */
+    "q79_quantiles_exact" -> ((s, dir) => {
+      import s.implicits._
+      import graft.core._
+      val d = s.read.parquet(s"$dir/lineitem.parquet").selectExpr(
+        "CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END AS q")
+      val qs = Seq(0.25, 0.5, 0.75)
+      val sr = Graft.validate(d, Suite("quantiles_exact", Seq(
+        ExpectColumnQuantileValuesToBeBetween("q", qs,
+          qs.map(_ => (Some(1.0), Some(50.0))), exact = true))))
+      val r = sr.results.head
+      val obs = r.result("observed_value").asInstanceOf[Map[String, Any]]
+      val vals = obs("values").asInstanceOf[Seq[Double]]
+      qs.zip(vals).map { case (p, v) => (p, v, r.success) }
+        .toDF("quantile", "value", "success").orderBy("quantile")
     }))
 
   /** src0..src19 → rate by index mod 4 (shared with the q75 oracle). */
@@ -203,5 +223,14 @@ ORDER BY conv_id, turn_idx"""),
         |  CAST((SELECT count(*) FROM s, m
         |        WHERE q IS NOT NULL AND NOT (abs((q - m.mean) / m.std) < 1.0))
         |    AS BIGINT) AS unexpected_count
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+
+    "q79_quantiles_exact" ->
+      """WITH s AS (SELECT CASE WHEN l_orderkey % 7 = 0 THEN NULL
+        |    ELSE l_quantity END AS q FROM lineitem),
+        |l AS (SELECT quantile_cont(q, [0.25, 0.5, 0.75]) AS vs FROM s)
+        |SELECT CAST(([0.25, 0.5, 0.75])[i] AS DOUBLE) AS quantile,
+        |  vs[i] AS value, TRUE AS success
+        |FROM l, (SELECT unnest(generate_series(1, 3)) AS i) t
+        |ORDER BY quantile""".stripMargin)
 }
