@@ -148,14 +148,18 @@ object PipelineQueries {
       .orderBy("conv_id", "turn_idx")
   }
 
+  /** Shared by q73 (batch) and q80 (stream-static replay of the same
+    * computation — identical final answer by construction). */
+  val decontaminateOracle: String =
+    s"""WITH docs AS (SELECT * FROM documents),
+       |$shingleCtes,
+       |cpost AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 37 <> 0),
+       |bsh AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 37 = 0)
+       |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |FROM cpost c JOIN bsh b USING (sg) GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q73_decontaminate" ->
-      s"""WITH docs AS (SELECT * FROM documents),
-         |$shingleCtes,
-         |cpost AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 37 <> 0),
-         |bsh AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 37 = 0)
-         |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
-         |FROM cpost c JOIN bsh b USING (sg) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q73_decontaminate" -> decontaminateOracle,
 
     "q74_repetition" ->
       s"""WITH docs AS (SELECT * FROM documents),

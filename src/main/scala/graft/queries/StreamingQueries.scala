@@ -123,6 +123,27 @@ object StreamingQueries {
         element_count, __b0 AS b0, __b1 AS b1, __b2 AS b2, __b3 AS b3,
         below_count, above_count, nonnull_count, drift
         FROM $view ORDER BY day""")
+    }),
+    "q80_stream_decontaminate" -> ((s, dir) => {
+      // stream-static decontamination: the corpus replays as a bounded
+      // file stream and each micro-batch semi-joins the STATIC broadcast
+      // benchmark shingle dictionary (the production shape for filtering
+      // continuous ingest against a fixed benchmark set); the running
+      // per-doc hit counts aggregate in complete mode. Final answer ==
+      // the batch q73 — the shared oracle asserts it.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+      val staged = Files.createTempDirectory("graft_stream_docs").toString
+      docs.filter(col("doc_id") % 37 =!= 0).repartition(4)
+        .write.mode("overwrite").parquet(staged)
+      val schema = s.read.parquet(staged).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val view = runToMemory(
+        graft.operators.Dedup.decontaminate(stream, bench, "doc_id", "text"),
+        "complete")
+      dropStaged(staged)
+      s.sql(s"SELECT doc_id, n_hits FROM $view ORDER BY doc_id")
     }))
 
   // q70 drift parameters (threshold far from the data's actual divergence
@@ -156,7 +177,9 @@ object StreamingQueries {
            |  AS text_hash
            |FROM transcripts ORDER BY text_hash NULLS FIRST""".stripMargin),
     "q70_stream_kl_drift" -> q70Oracle,
-    "q71_stream_cont_drift" -> q71Oracle)
+    "q71_stream_cont_drift" -> q71Oracle,
+    // stream-static replay computes EXACTLY the batch decontamination
+    "q80_stream_decontaminate" -> PipelineQueries.decontaminateOracle)
 
   /** q71: per-day histogram + the same finite-endpoint continuous-KL
     * arithmetic as the streaming expression (np.histogram last-bin-closed;
