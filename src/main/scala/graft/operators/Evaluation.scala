@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pipeline-evaluation operators. The north-rule acceptance metric for a
+  * quality filter is keep/drop F1 against reference labels — this computes
+  * it distributed, in ONE fused aggregate. */
+object Evaluation {
+
+  /** Binary confusion matrix + precision/recall/F1 between a label column
+    * and a prediction column (both boolean). One codegen'd sum-when pass —
+    * no shuffle beyond the final 4-long reduction; the ratios are single
+    * IEEE divisions of exact longs, so results are bit-reproducible
+    * across engines and partitionings. Null label/pred rows count toward
+    * no quadrant (null && x never evaluates true). */
+  def binaryConfusion(df: DataFrame, labelCol: Column,
+      predCol: Column): DataFrame = {
+    val counts = df.agg(
+      sum(when(labelCol && predCol, 1L).otherwise(0L)).as("tp"),
+      sum(when(!labelCol && predCol, 1L).otherwise(0L)).as("fp"),
+      sum(when(labelCol && !predCol, 1L).otherwise(0L)).as("fn"),
+      sum(when(!labelCol && !predCol, 1L).otherwise(0L)).as("tn"))
+    counts.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      (col("tp").cast(DoubleType) / (col("tp") + col("fp")))
+        .as("precision"),
+      (col("tp").cast(DoubleType) / (col("tp") + col("fn")))
+        .as("recall"),
+      ((col("tp") * 2).cast(DoubleType) / (col("tp") * 2 + col("fp") + col("fn")))
+        .as("f1"))
+  }
+}

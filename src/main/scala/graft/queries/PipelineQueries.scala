@@ -128,6 +128,17 @@ object PipelineQueries {
       val vals = obs("values").asInstanceOf[Seq[Double]]
       qs.zip(vals).map { case (p, v) => (p, v, r.success) }
         .toDF("quantile", "value", "success").orderBy("quantile")
+    }),
+
+    /** Keep/drop F1 — the north-rule acceptance metric — computed by the
+      * distributed evaluation operator: the full pipeline's keep label
+      * vs a cheaper 3-rule proxy, confusion counts + P/R/F1 in one fused
+      * sum-when aggregate (exact longs → bit-deterministic ratios). */
+    "q81_keep_f1" -> ((s, dir) => {
+      val qf = graft.transcripts.QualityFilter(
+        graft.transcripts.Transcripts.fromEvents(s, dir))
+      graft.operators.Evaluation.binaryConfusion(qf, col("keep"),
+        col("lang_ok") && col("len_ok") && col("role_seq_ok"))
     }))
 
   /** src0..src19 → rate by index mod 4 (shared with the q75 oracle). */
@@ -236,5 +247,20 @@ ORDER BY conv_id, turn_idx"""),
         |SELECT CAST(([0.25, 0.5, 0.75])[i] AS DOUBLE) AS quantile,
         |  vs[i] AS value, TRUE AS success
         |FROM l, (SELECT unnest(generate_series(1, 3)) AS i) t
-        |ORDER BY quantile""".stripMargin)
+        |ORDER BY quantile""".stripMargin,
+
+    // no stripMargin: the interpolated transcript SQL has "||" line starts
+    "q81_keep_f1" ->
+      (s"""SELECT tp, fp, fn, tn,
+  CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+  CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn) AS f1
+FROM (
+  SELECT CAST(sum(CASE WHEN keep AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN NOT keep AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN keep AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN NOT keep AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM (SELECT keep, (lang_ok AND len_ok AND role_seq_ok) AS pred
+        FROM (${TranscriptOracles.qfTurnsSql}) q) p
+) c"""))
 }
