@@ -139,6 +139,27 @@ object PipelineQueries {
         graft.transcripts.Transcripts.fromEvents(s, dir))
       graft.operators.Evaluation.binaryConfusion(qf, col("keep"),
         col("lang_ok") && col("len_ok") && col("role_seq_ok"))
+    }),
+
+    /** End-to-end composition of the pipeline operators: decontaminate
+      * against the benchmark slice, drop repetitive docs (integer-exact
+      * 5·top_count ≤ n_words gate — no float compare), then mix-sample
+      * per source; report kept docs + chars per source. Every stage's
+      * oracle CTE composes into one DuckDB query. */
+    "q82_pipeline_compose" -> ((s, dir) => {
+      import graft.functions.{RepetitionStats, TextFunctions}
+      val d = docs(s, dir)
+      val clean = Dedup.removeContaminated(
+        d.filter(col("doc_id") % 37 =!= 0),
+        d.filter(col("doc_id") % 37 === 0), "doc_id", "text")
+      val rep = clean.withColumn("__r",
+          RepetitionStats.repetition_stats(TextFunctions.normText(col("text"))))
+        .filter(col("__r.top_count") * 5 <= col("__r.n_words"))
+        .drop("__r")
+      graft.sources.Partitioners.sampleWeighted(rep, "doc_id", "source", mixRates)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy("source")
     }))
 
   /** src0..src19 → rate by index mod 4 (shared with the q75 oracle). */
@@ -262,5 +283,31 @@ FROM (
     CAST(sum(CASE WHEN NOT keep AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
   FROM (SELECT keep, (lang_ok AND len_ok AND role_seq_ok) AS pred
         FROM (${TranscriptOracles.qfTurnsSql}) q) p
-) c"""))
+) c"""),
+
+    "q82_pipeline_compose" -> {
+      val cases = mixRates.toSeq.sortBy(_._1).map { case (g, r) =>
+        s"WHEN source = '$g' THEN ${graft.sources.Partitioners.rateThreshold(r)}"
+      }.mkString(" ")
+      s"""WITH docs AS (SELECT * FROM documents),
+         |$shingleCtes,
+         |bsh AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 37 = 0),
+         |cont AS (SELECT DISTINCT c.doc_id FROM
+         |  (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 37 <> 0) c
+         |  JOIN bsh USING (sg)),
+         |clean AS (SELECT d.* FROM docs d WHERE d.doc_id % 37 <> 0
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
+         |wc AS (SELECT n.doc_id, word, count(*) AS n
+         |  FROM (SELECT normd.doc_id, unnest(normd.w) AS word FROM normd
+         |        JOIN clean ON clean.doc_id = normd.doc_id) n GROUP BY 1, 2),
+         |wa AS (SELECT doc_id, CAST(sum(n) AS INT) AS n_words,
+         |  CAST(max(n) AS INT) AS top_count FROM wc GROUP BY 1),
+         |keepids AS (SELECT doc_id FROM wa WHERE top_count * 5 <= n_words),
+         |sampled AS (SELECT c.* FROM clean c JOIN keepids USING (doc_id)
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)) AS BIGINT)
+         |    < (CASE $cases ELSE ${graft.sources.Partitioners.rateThreshold(1.0)} END))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |FROM sampled GROUP BY source ORDER BY source""".stripMargin
+    })
 }
