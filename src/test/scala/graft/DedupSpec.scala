@@ -317,6 +317,21 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(("c0", 5, "x"), ("c1", 1, "y"), ("c2", 1, "z")))
   }
 
+  test("decontaminate plan: broadcast left-semi join, scan pruned to id+text") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.decontaminate(
+        d.filter(col("doc_id") % 37 =!= 0), d.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected a broadcast left-semi join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "corpus side must not sort-shuffle")
+    // the corpus scan reads only the id and text columns
+    assert(plan.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("doc_id") && l.contains("text") &&
+        !l.contains("source") && !l.contains("n_chars")), s"unpruned scan:\n$plan")
+  }
+
   test("decontaminate flags n-gram overlap with the benchmark, exactly") {
     val benchmark = Seq(
       (100L, "alpha beta gamma delta"),
