@@ -159,3 +159,71 @@ object SuiteProfiler {
     rows.toSeq.toDF("column", "expectation_type", "p1", "p2", "set_csv")
   }
 }
+
+/** Text-column profiler: derive quality-filter gates FROM an observed
+  * corpus, the way SuiteProfiler derives a generic suite from a batch.
+  * One map-side repetition_stats pass annotates each document; the
+  * derived parameters are chosen to be bit-reproducible:
+  *  - token-count bounds at the QUARTILES via exact percentile (binary
+  *    fractions over integer counts → exact interpolation, identical to
+  *    DuckDB quantile_cont);
+  *  - repetition ceilings as the observed MAXIMA of top_word_frac /
+  *    dup_2gram_frac (each per-row value is one IEEE division of exact
+  *    ints, and max is a selection, not a sum — order-independent).
+  * `textSuite` turns the profile into a runnable Suite over the annotated
+  * frame; ProfilerSpec asserts it validates green on its own batch. */
+object TextProfiler {
+
+  /** One codegen'd pass: n_words, top_word_frac, dup_2gram_frac columns
+    * (normalized-text semantics; dup_2gram_frac null for < 2 words). */
+  def annotate(df: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.{RepetitionStats, TextFunctions}
+    df.withColumn("__rep",
+        RepetitionStats.repetition_stats(TextFunctions.normText(col(textCol))))
+      .withColumn("n_words", col("__rep.n_words"))
+      .withColumn("top_word_frac",
+        col("__rep.top_count").cast(DoubleType) / col("__rep.n_words"))
+      .withColumn("dup_2gram_frac",
+        when(col("__rep.n_2grams") === 0, lit(null).cast(DoubleType))
+          .otherwise(lit(1.0) -
+            col("__rep.n_distinct_2grams").cast(DoubleType) / col("__rep.n_2grams")))
+      .drop("__rep")
+  }
+
+  /** The derived gates as oracle-friendly rows (metric, p1, p2). */
+  def profileText(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val a = annotate(df, textCol)
+    val r = a.agg(
+      percentile(col("n_words").cast(DoubleType),
+        typedLit(Seq(0.25, 0.75))).as("q"),
+      max(col("top_word_frac")).as("twf"),
+      max(col("dup_2gram_frac")).as("dgf")).head()
+    val q = r.getAs[scala.collection.Seq[Double]]("q")
+    import spark.implicits._
+    Seq(
+      ("token_count_iqr", Option(q(0)), Option(q(1))),
+      ("top_word_frac_max", Option(r.getAs[Double]("twf")), Option.empty[Double]),
+      ("dup_2gram_frac_max", Option(r.getAs[Double]("dgf")), Option.empty[Double]))
+      .toDF("metric", "p1", "p2")
+  }
+
+  /** Runnable suite over `annotate(df, textCol)`: mostly-gated token-count
+    * IQR band plus hard repetition ceilings at the observed maxima. */
+  def textSuite(df: DataFrame, textCol: String,
+      suiteName: String = "text_profile"): Suite = {
+    val rows = profileText(df, textCol).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val iqr = rows("token_count_iqr")
+    Suite(suiteName, Seq(
+      // ~half the mass sits inside the closed IQR by construction; 0.45
+      // leaves slack for discrete data where interpolation can place the
+      // quartiles between integer values and shave boundary rows
+      ExpectColumnValuesToBeBetween("n_words",
+        Some(iqr.getDouble(1)), Some(iqr.getDouble(2)), mostly = 0.45),
+      ExpectColumnValuesToBeBetween("top_word_frac",
+        None, Some(rows("top_word_frac_max").getDouble(1))),
+      ExpectColumnValuesToBeBetween("dup_2gram_frac",
+        None, Some(rows("dup_2gram_frac_max").getDouble(1)))))
+  }
+}

@@ -160,7 +160,14 @@ object PipelineQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
         .orderBy("source")
-    }))
+    }),
+
+    /** Text-column profiler: gates DERIVED from the corpus — token-count
+      * quartiles via exact percentile, repetition ceilings as observed
+      * maxima (per-row exact divisions + max selection = reproducible). */
+    "q83_text_profile" -> ((s, dir) =>
+      graft.core.TextProfiler.profileText(docs(s, dir), "text")
+        .orderBy("metric")))
 
   /** src0..src19 → rate by index mod 4 (shared with the q75 oracle). */
   private val mixRates: Map[String, Double] =
@@ -309,5 +316,30 @@ FROM (
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS n_chars
          |FROM sampled GROUP BY source ORDER BY source""".stripMargin
-    })
+    },
+
+    "q83_text_profile" ->
+      s"""WITH docs AS (SELECT * FROM documents),
+         |normd AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM docs),
+         |wc AS (SELECT doc_id, word, count(*) AS n
+         |  FROM (SELECT doc_id, unnest(w) AS word FROM normd) GROUP BY 1, 2),
+         |wa AS (SELECT doc_id, CAST(sum(n) AS INT) AS n_words,
+         |  CAST(max(n) AS INT) AS top_count FROM wc GROUP BY 1),
+         |g2 AS (SELECT doc_id,
+         |  CAST(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS INT) AS n2,
+         |  CAST(CASE WHEN len(w) >= 2 THEN len(list_distinct(
+         |    list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])))
+         |    ELSE 0 END AS INT) AS d2 FROM normd),
+         |per AS (SELECT wa.doc_id, n_words,
+         |  CAST(top_count AS DOUBLE) / n_words AS twf,
+         |  CASE WHEN n2 = 0 THEN NULL
+         |       ELSE 1.0 - CAST(d2 AS DOUBLE) / n2 END AS dgf
+         |  FROM wa JOIN g2 USING (doc_id)),
+         |agg AS (SELECT quantile_cont(CAST(n_words AS DOUBLE), [0.25, 0.75]) AS q,
+         |  max(twf) AS twf, max(dgf) AS dgf FROM per)
+         |SELECT * FROM (
+         |  SELECT 'token_count_iqr' AS metric, q[1] AS p1, q[2] AS p2 FROM agg
+         |  UNION ALL SELECT 'top_word_frac_max', twf, CAST(NULL AS DOUBLE) FROM agg
+         |  UNION ALL SELECT 'dup_2gram_frac_max', dgf, CAST(NULL AS DOUBLE) FROM agg
+         |) u ORDER BY metric""".stripMargin)
 }

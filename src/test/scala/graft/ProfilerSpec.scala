@@ -52,4 +52,19 @@ class ProfilerSpec extends AnyFunSuite {
     // the derived suite is green on the batch it came from
     assert(Graft.validate(df, suite).success)
   }
+
+  test("text profiler: derived gates validate green on their own corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val suite = TextProfiler.textSuite(docs, "text")
+    val annotated = TextProfiler.annotate(docs, "text")
+    val sr = Graft.validate(annotated, suite)
+    assert(sr.success, sr.results.map(r =>
+      s"${r.expectationType}: ${r.exception}").mkString("; "))
+    // the IQR band really is a band: some docs fall outside it
+    val iqr = sr.results.head
+    assert(iqr.result("unexpected_count").asInstanceOf[Long] > 0L)
+    // ceilings are maxima: zero rows above them
+    sr.results.drop(1).foreach(r =>
+      assert(r.result("unexpected_count") == 0L, r.expectationType))
+  }
 }
