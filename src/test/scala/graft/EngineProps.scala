@@ -88,4 +88,16 @@ object EngineProps extends Properties("graft.engine") {
         st.successfulExpectations + st.unsuccessfulExpectations == 3 &&
         st.successPercent.contains(st.successfulExpectations * 100.0 / 3)
     }
+
+  property("exact-moment stddev ≡ Welford stddev on integer data (1e-9)") =
+    forAll(Gen.listOfN(30, Gen.choose(-1000, 1000)).suchThat(_.size >= 2)) { vs =>
+      import org.apache.spark.sql.functions.{col, stddev_samp}
+      val d = vs.toDF("v")
+      val r = d.agg(Moments.stddevExact(col("v")).as("e"),
+        stddev_samp(col("v")).as("w")).head()
+      val (e, w) = (r.getDouble(0), r.getDouble(1))
+      // all-equal lists → stddev 0; exact form may see -0.0/tiny negative
+      // under sqrt guarded upstream by require(sd != 0) in the runner
+      (e.isNaN && w.isNaN) || math.abs(e - w) < 1e-9
+    }
 }
