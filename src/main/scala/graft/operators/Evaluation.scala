@@ -30,4 +30,26 @@ object Evaluation {
       ((col("tp") * 2).cast(DoubleType) / (col("tp") * 2 + col("fp") + col("fn")))
         .as("f1"))
   }
+
+  /** Per-query recall of an approximate neighbor list against the exact
+    * one: |approx ∩ exact| / |exact|. The quality dial every ANN
+    * deployment needs next to its latency dial. Shuffles only
+    * (query, item) id pairs; the ratio is one IEEE division of exact
+    * longs. Queries the approximate side missed entirely surface with
+    * n_hit = 0 (left join from the exact side). */
+  def recallAtK(approx: DataFrame, exact: DataFrame, queryCol: String,
+      itemCol: String): DataFrame = {
+    val a = approx.select(col(queryCol).as("__q"), col(itemCol).as("__i"))
+      .dropDuplicates("__q", "__i")
+    val x = exact.select(col(queryCol).as("__q"), col(itemCol).as("__i"))
+      .dropDuplicates("__q", "__i")
+    val hits = x.join(a, Seq("__q", "__i"), "left_semi")
+      .groupBy("__q").agg(count(lit(1)).as("n_hit"))
+    x.groupBy("__q").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("__q"), "left")
+      .select(col("__q").as(queryCol),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"), col("n_true"),
+        (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("n_true"))
+          .as("recall"))
+  }
 }

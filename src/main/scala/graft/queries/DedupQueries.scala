@@ -204,6 +204,17 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
         centroids = e.filter(col("vec_id") % 100 === 0),
         k = 3, nProbe = 2)
         .orderBy("query_id", "rank")
+    }),
+    /** ANN quality evaluation: per-query recall@3 of banded sign-LSH
+      * against exact brute force — the dial a production ANN deployment
+      * tunes band count / nProbe against. */
+    "q84_ann_recall" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      val approx = Similarity.lshTopK(e, queries, 3, maxBucket = Int.MaxValue)
+      val exact = Similarity.bruteForceTopK(e, queries, 3)
+      graft.operators.Evaluation.recallAtK(approx, exact,
+        "query_id", "neighbor_id").orderBy("query_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -280,5 +291,33 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM r
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+    "q84_ann_recall" -> {
+      def bt(src: String) = (0 until 4).map(b =>
+        s"SELECT vec_id, $b AS b, (${bandKeySql("embedding", b)}) AS bk FROM $src")
+        .mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qemb FROM embeddings WHERE vec_id % 100 = 0),
+         |bscored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |  ${cosSql("qemb", "e.embedding")} AS cos
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM bscored),
+         |bf AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 3),
+         |qv AS (SELECT * FROM embeddings WHERE vec_id % 100 = 0),
+         |qb AS (${bt("qv")}),
+         |cb AS (${bt("embeddings")}),
+         |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM cb JOIN qb ON cb.b = qb.b AND cb.bk = qb.bk AND cb.vec_id <> qb.vec_id),
+         |lscored AS (SELECT c.query_id, c.neighbor_id,
+         |  ${cosSql("qq.embedding", "e.embedding")} AS cos
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+         |  JOIN qv qq ON qq.vec_id = c.query_id),
+         |lr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM lscored),
+         |lsh AS (SELECT query_id, neighbor_id FROM lr WHERE rank <= 3),
+         |hits AS (SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM bf JOIN lsh USING (query_id, neighbor_id) GROUP BY 1),
+         |tot AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_true FROM bf GROUP BY 1)
+         |SELECT t.query_id, COALESCE(n_hit, 0) AS n_hit, n_true,
+         |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_true AS recall
+         |FROM tot t LEFT JOIN hits USING (query_id) ORDER BY query_id""".stripMargin
     })
 }
