@@ -167,7 +167,29 @@ object PipelineQueries {
       * maxima (per-row exact divisions + max selection = reproducible). */
     "q83_text_profile" -> ((s, dir) =>
       graft.core.TextProfiler.profileText(docs(s, dir), "text")
-        .orderBy("metric")))
+        .orderBy("metric")),
+
+    /** Sliding word-window passage chunking (size 20, stride 10) — the
+      * reshaping step before a trainer/RAG index; byte-deterministic
+      * chunk text from the shared normalized token array. */
+    "q85_chunk_words" -> ((s, dir) =>
+      graft.operators.Chunking.chunkWords(docs(s, dir), "doc_id", "text",
+          size = 20, stride = 10)
+        .withColumn("n_words",
+          size(split(col("chunk_text"), " ")).cast(IntegerType))
+        .orderBy("doc_id", "chunk_idx")),
+
+    /** Shard-parallel sequence packing at a 512-word budget: seq_id from
+      * the exclusive prefix sum within each source shard. */
+    "q86_pack_sequences" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("n_words",
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast(LongType))
+      graft.operators.Chunking.packByCumulativeWords(d, "source", "doc_id",
+          "n_words", budget = 512)
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
+        .orderBy("source", "seq_id")
+    }))
 
   /** src0..src19 → rate by index mod 4 (shared with the q75 oracle). */
   private val mixRates: Map[String, Double] =
@@ -341,5 +363,30 @@ FROM (
          |  SELECT 'token_count_iqr' AS metric, q[1] AS p1, q[2] AS p2 FROM agg
          |  UNION ALL SELECT 'top_word_frac_max', twf, CAST(NULL AS DOUBLE) FROM agg
          |  UNION ALL SELECT 'dup_2gram_frac_max', dgf, CAST(NULL AS DOUBLE) FROM agg
-         |) u ORDER BY metric""".stripMargin)
+         |) u ORDER BY metric""".stripMargin,
+
+    "q85_chunk_words" ->
+      s"""WITH docs AS (SELECT * FROM documents),
+         |normd AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM docs),
+         |n2 AS (SELECT doc_id, w, len(w) AS n FROM normd),
+         |ch AS (SELECT doc_id, s AS chunk_idx,
+         |  array_to_string(list_transform(
+         |    generate_series(s*10+1, least(s*10+20, n)), j -> w[j]), ' ') AS chunk_text,
+         |  CAST(least(s*10+20, n) - s*10 AS INT) AS n_words
+         |  FROM n2, unnest(generate_series(0,
+         |    CAST(floor(CAST(n-1 AS DOUBLE)/10) AS INT))) AS u(s))
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text, n_words
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q86_pack_sequences" ->
+      s"""WITH docs AS (SELECT * FROM documents),
+         |normd AS (SELECT doc_id, source,
+         |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS nw FROM docs),
+         |c AS (SELECT *, COALESCE(sum(nw) OVER (PARTITION BY source ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM normd),
+         |p AS (SELECT source,
+         |  CAST(floor(CAST(pre AS DOUBLE) / 512) AS BIGINT) AS seq_id, nw FROM c)
+         |SELECT source, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS n_words
+         |FROM p GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin)
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Chunking
+
+class ChunkingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chunkWords: stride windows, tail chunk, short text, empty text") {
+    val d = Seq((1L, "a b c d e"), (2L, "x y"), (3L, ""), (4L, "  "))
+      .toDF("doc_id", "text")
+    val r = Chunking.chunkWords(d, "doc_id", "text", size = 3, stride = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getString(2)))
+    assert(r.toSeq == Seq(
+      (1L, 0, "a b c"), (1L, 1, "c d e"), (1L, 2, "e"),
+      (2L, 0, "x y")))
+  }
+
+  test("packByCumulativeWords: budget boundaries and shard independence") {
+    val d = Seq(
+      ("s1", 1L, 300L), ("s1", 2L, 300L), ("s1", 3L, 300L), ("s1", 4L, 300L),
+      ("s1", 5L, 300L), ("s2", 1L, 600L), ("s2", 2L, 10L))
+      .toDF("source", "doc_id", "n_words")
+    val r = Chunking.packByCumulativeWords(d, "source", "doc_id", "n_words", 512)
+      .select("source", "doc_id", "seq_id").collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    // s1 prefix sums: 0,300,600,900,1200 → seqs 0,0,1,1,2 (start-bucket rule)
+    assert(r(("s1", 1L)) == 0L && r(("s1", 2L)) == 0L)
+    assert(r(("s1", 3L)) == 1L && r(("s1", 4L)) == 1L && r(("s1", 5L)) == 2L)
+    // s2 restarts: 0, 600 → seqs 0, 1
+    assert(r(("s2", 1L)) == 0L && r(("s2", 2L)) == 1L)
+  }
+}
