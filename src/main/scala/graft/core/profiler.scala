@@ -174,15 +174,22 @@ object SuiteProfiler {
   * frame; ProfilerSpec asserts it validates green on its own batch. */
 object TextProfiler {
 
-  /** One codegen'd pass: n_words, top_word_frac, dup_2gram_frac columns
-    * (normalized-text semantics; dup_2gram_frac null for < 2 words). */
+  /** One codegen'd pass: n_words, n_distinct, top_count, top_word_frac,
+    * dup_2gram_frac columns (normalized-text semantics; fractions null
+    * for empty / sub-2-word text). The single home of this derivation —
+    * q74 and the gates both select from it. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     import graft.functions.{RepetitionStats, TextFunctions}
     df.withColumn("__rep",
         RepetitionStats.repetition_stats(TextFunctions.normText(col(textCol))))
       .withColumn("n_words", col("__rep.n_words"))
+      .withColumn("n_distinct", col("__rep.n_distinct"))
+      .withColumn("top_count", col("__rep.top_count"))
       .withColumn("top_word_frac",
-        col("__rep.top_count").cast(DoubleType) / col("__rep.n_words"))
+        // empty/null text → 0 words → NULL fraction (ANSI would throw)
+        when(col("__rep.n_words") === 0, lit(null).cast(DoubleType))
+          .otherwise(
+            col("__rep.top_count").cast(DoubleType) / col("__rep.n_words")))
       .withColumn("dup_2gram_frac",
         when(col("__rep.n_2grams") === 0, lit(null).cast(DoubleType))
           .otherwise(lit(1.0) -
@@ -199,12 +206,16 @@ object TextProfiler {
         typedLit(Seq(0.25, 0.75))).as("q"),
       max(col("top_word_frac")).as("twf"),
       max(col("dup_2gram_frac")).as("dgf")).head()
-    val q = r.getAs[scala.collection.Seq[Double]]("q")
+    // empty corpus → null quartiles; degenerate corpora (all docs < 2
+    // words) → null maxima. Preserve the nulls instead of unboxing to 0.0
+    val q = Option(r.getAs[scala.collection.Seq[Double]]("q"))
+    def optD(name: String): Option[Double] =
+      Option(r.getAs[java.lang.Double](name)).map(_.doubleValue())
     import spark.implicits._
     Seq(
-      ("token_count_iqr", Option(q(0)), Option(q(1))),
-      ("top_word_frac_max", Option(r.getAs[Double]("twf")), Option.empty[Double]),
-      ("dup_2gram_frac_max", Option(r.getAs[Double]("dgf")), Option.empty[Double]))
+      ("token_count_iqr", q.map(_(0)), q.map(_(1))),
+      ("top_word_frac_max", optD("twf"), Option.empty[Double]),
+      ("dup_2gram_frac_max", optD("dgf"), Option.empty[Double]))
       .toDF("metric", "p1", "p2")
   }
 
@@ -214,6 +225,9 @@ object TextProfiler {
       suiteName: String = "text_profile"): Suite = {
     val rows = profileText(df, textCol).collect()
       .map(r => r.getString(0) -> r).toMap
+    require(rows.values.forall(r => !r.isNullAt(1)),
+      "corpus too small or degenerate to derive text-quality gates " +
+        "(empty corpus or no document with 2+ words)")
     val iqr = rows("token_count_iqr")
     Suite(suiteName, Seq(
       // ~half the mass sits inside the closed IQR by construction; 0.45

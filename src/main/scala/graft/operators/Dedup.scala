@@ -361,9 +361,12 @@ object Dedup {
     val keyed = df.withColumn("__kf_key", keyCol)
     val firsts = keyed.groupBy(col("__kf_key"))
       .agg(min(struct(ordCols: _*)).as("__kf_min"))
-    keyed.join(firsts, Seq("__kf_key"))
+      .withColumnRenamed("__kf_key", "__kf_fkey")
+    // null-SAFE join: a null key forms its own group like any other value
+    // (an equi-join would silently drop every null-key row)
+    keyed.join(firsts, col("__kf_key") <=> col("__kf_fkey"))
       .filter(struct(ordCols: _*) === col("__kf_min"))
-      .drop("__kf_key", "__kf_min")
+      .drop("__kf_key", "__kf_fkey", "__kf_min")
   }
 
   /** Benchmark decontamination: flag corpus documents that share at least

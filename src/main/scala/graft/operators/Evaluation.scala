@@ -22,13 +22,15 @@ object Evaluation {
       sum(when(!labelCol && predCol, 1L).otherwise(0L)).as("fp"),
       sum(when(labelCol && !predCol, 1L).otherwise(0L)).as("fn"),
       sum(when(!labelCol && !predCol, 1L).otherwise(0L)).as("tn"))
+    // degenerate matrices (no predicted / no actual positives) → NULL
+    // metric, not an ANSI DIVIDE_BY_ZERO that kills the job
+    def ratio(num: Column, denom: Column): Column =
+      when(denom > 0, num.cast(DoubleType) / denom)
+        .otherwise(lit(null).cast(DoubleType))
     counts.select(col("tp"), col("fp"), col("fn"), col("tn"),
-      (col("tp").cast(DoubleType) / (col("tp") + col("fp")))
-        .as("precision"),
-      (col("tp").cast(DoubleType) / (col("tp") + col("fn")))
-        .as("recall"),
-      ((col("tp") * 2).cast(DoubleType) / (col("tp") * 2 + col("fp") + col("fn")))
-        .as("f1"))
+      ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+      ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+      ratio(col("tp") * 2, col("tp") * 2 + col("fp") + col("fn")).as("f1"))
   }
 
   /** Per-query recall of an approximate neighbor list against the exact

@@ -17,6 +17,11 @@ object PipelineQueries {
 
   private val normSql = graft.functions.TextFunctions.normTextSql("text")
 
+  /** Guarded word list: DuckDB string_split('') is [''] (1 word) but the
+    * engine's tokens('') is [] — the CASE keeps empty docs at 0 words. */
+  private val wordsSql =
+    s"CASE WHEN $normSql = '' THEN CAST([] AS VARCHAR[]) ELSE string_split($normSql, ' ') END"
+
   /** The q57 shingle CTE pair (docs must already be bound upstream). */
   private val shingleCtes =
     s"""normd AS (SELECT doc_id, string_split($normSql, ' ') AS w, $normSql AS norm FROM docs),
@@ -41,23 +46,11 @@ object PipelineQueries {
       * fraction and duplicate-2-gram fraction, from ONE map-side pass
       * (native repetition_stats) — integer counts, so fractions are a
       * single bit-deterministic IEEE division on both sides. */
-    "q74_repetition" -> ((s, dir) => {
-      import graft.functions.{RepetitionStats, TextFunctions}
-      val r = docs(s, dir).select(col("doc_id"),
-        RepetitionStats.repetition_stats(
-          TextFunctions.normText(col("text"))).as("r"))
-      r.select(col("doc_id"),
-          col("r.n_words").as("n_words"),
-          col("r.n_distinct").as("n_distinct"),
-          col("r.top_count").as("top_count"),
-          (col("r.top_count").cast(DoubleType) / col("r.n_words"))
-            .as("top_word_frac"),
-          when(col("r.n_2grams") === 0, lit(null).cast(DoubleType))
-            .otherwise(lit(1.0) -
-              col("r.n_distinct_2grams").cast(DoubleType) / col("r.n_2grams"))
-            .as("dup_2gram_frac"))
-        .orderBy("doc_id")
-    }),
+    "q74_repetition" -> ((s, dir) =>
+      graft.core.TextProfiler.annotate(docs(s, dir), "text")
+        .select("doc_id", "n_words", "n_distinct", "top_count",
+          "top_word_frac", "dup_2gram_frac")
+        .orderBy("doc_id")),
 
     /** Weighted source mixing: sample each of the 20 sources at a rate
       * cycling 1.0/0.5/0.25/0.125 (binary fractions → exact thresholds),
@@ -200,12 +193,14 @@ object PipelineQueries {
     * survives; the synthesized transcripts are heavily repetitive, so
     * this prunes most of the corpus. */
   private def q76(s: SparkSession, dir: String): DataFrame = {
+    // hash once as a named column so keepFirst's key and the output column
+    // reference the same expression (not two md5+regexp evaluations)
     val t = graft.transcripts.Transcripts.fromEvents(s, dir)
-    Dedup.keepFirst(t,
-        md5(graft.functions.TextFunctions.normText(col("text"))),
+      .withColumn("text_hash",
+        md5(graft.functions.TextFunctions.normText(col("text"))))
+    Dedup.keepFirst(t, col("text_hash"),
         Seq(col("conv_id"), col("turn_idx")))
-      .select(col("conv_id"), col("turn_idx"),
-        md5(graft.functions.TextFunctions.normText(col("text"))).as("text_hash"))
+      .select("conv_id", "turn_idx", "text_hash")
       .orderBy("conv_id", "turn_idx")
   }
 
@@ -224,7 +219,7 @@ object PipelineQueries {
 
     "q74_repetition" ->
       s"""WITH docs AS (SELECT * FROM documents),
-         |normd AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM docs),
+         |normd AS (SELECT doc_id, $wordsSql AS w FROM docs),
          |wc AS (SELECT doc_id, word, count(*) AS n
          |  FROM (SELECT doc_id, unnest(w) AS word FROM normd) GROUP BY 1, 2),
          |wa AS (SELECT doc_id, CAST(sum(n) AS INT) AS n_words,
@@ -235,11 +230,15 @@ object PipelineQueries {
          |  CAST(CASE WHEN len(w) >= 2 THEN len(list_distinct(
          |    list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])))
          |    ELSE 0 END AS INT) AS d2 FROM normd)
-         |SELECT doc_id, n_words, n_distinct, top_count,
-         |  CAST(top_count AS DOUBLE) / n_words AS top_word_frac,
+         |SELECT n.doc_id, COALESCE(n_words, 0) AS n_words,
+         |  COALESCE(n_distinct, 0) AS n_distinct,
+         |  COALESCE(top_count, 0) AS top_count,
+         |  CASE WHEN COALESCE(n_words, 0) = 0 THEN NULL
+         |       ELSE CAST(top_count AS DOUBLE) / n_words END AS top_word_frac,
          |  CASE WHEN n2 = 0 THEN NULL
          |       ELSE 1.0 - CAST(d2 AS DOUBLE) / n2 END AS dup_2gram_frac
-         |FROM wa JOIN g2 USING (doc_id) ORDER BY doc_id""".stripMargin,
+         |FROM normd n LEFT JOIN wa USING (doc_id) JOIN g2 ON g2.doc_id = n.doc_id
+         |ORDER BY n.doc_id""".stripMargin,
 
     "q75_mix_sample" -> {
       val cases = mixRates.toSeq.sortBy(_._1).map { case (g, r) =>
@@ -326,12 +325,14 @@ FROM (
          |  JOIN bsh USING (sg)),
          |clean AS (SELECT d.* FROM docs d WHERE d.doc_id % 37 <> 0
          |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
+         |gw AS (SELECT doc_id, $wordsSql AS w FROM docs),
          |wc AS (SELECT n.doc_id, word, count(*) AS n
-         |  FROM (SELECT normd.doc_id, unnest(normd.w) AS word FROM normd
-         |        JOIN clean ON clean.doc_id = normd.doc_id) n GROUP BY 1, 2),
+         |  FROM (SELECT gw.doc_id, unnest(gw.w) AS word FROM gw
+         |        JOIN clean ON clean.doc_id = gw.doc_id) n GROUP BY 1, 2),
          |wa AS (SELECT doc_id, CAST(sum(n) AS INT) AS n_words,
          |  CAST(max(n) AS INT) AS top_count FROM wc GROUP BY 1),
-         |keepids AS (SELECT doc_id FROM wa WHERE top_count * 5 <= n_words),
+         |keepids AS (SELECT c.doc_id FROM clean c LEFT JOIN wa USING (doc_id)
+         |  WHERE COALESCE(top_count, 0) * 5 <= COALESCE(n_words, 0)),
          |sampled AS (SELECT c.* FROM clean c JOIN keepids USING (doc_id)
          |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)) AS BIGINT)
          |    < (CASE $cases ELSE ${graft.sources.Partitioners.rateThreshold(1.0)} END))
@@ -342,7 +343,7 @@ FROM (
 
     "q83_text_profile" ->
       s"""WITH docs AS (SELECT * FROM documents),
-         |normd AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM docs),
+         |normd AS (SELECT doc_id, $wordsSql AS w FROM docs),
          |wc AS (SELECT doc_id, word, count(*) AS n
          |  FROM (SELECT doc_id, unnest(w) AS word FROM normd) GROUP BY 1, 2),
          |wa AS (SELECT doc_id, CAST(sum(n) AS INT) AS n_words,
@@ -352,11 +353,12 @@ FROM (
          |  CAST(CASE WHEN len(w) >= 2 THEN len(list_distinct(
          |    list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])))
          |    ELSE 0 END AS INT) AS d2 FROM normd),
-         |per AS (SELECT wa.doc_id, n_words,
-         |  CAST(top_count AS DOUBLE) / n_words AS twf,
+         |per AS (SELECT n.doc_id, COALESCE(n_words, 0) AS n_words,
+         |  CASE WHEN COALESCE(n_words, 0) = 0 THEN NULL
+         |       ELSE CAST(top_count AS DOUBLE) / n_words END AS twf,
          |  CASE WHEN n2 = 0 THEN NULL
          |       ELSE 1.0 - CAST(d2 AS DOUBLE) / n2 END AS dgf
-         |  FROM wa JOIN g2 USING (doc_id)),
+         |  FROM normd n LEFT JOIN wa USING (doc_id) JOIN g2 ON g2.doc_id = n.doc_id),
          |agg AS (SELECT quantile_cont(CAST(n_words AS DOUBLE), [0.25, 0.75]) AS q,
          |  max(twf) AS twf, max(dgf) AS dgf FROM per)
          |SELECT * FROM (
@@ -367,7 +369,7 @@ FROM (
 
     "q85_chunk_words" ->
       s"""WITH docs AS (SELECT * FROM documents),
-         |normd AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM docs),
+         |normd AS (SELECT doc_id, $wordsSql AS w FROM docs),
          |n2 AS (SELECT doc_id, w, len(w) AS n FROM normd),
          |ch AS (SELECT doc_id, s AS chunk_idx,
          |  array_to_string(list_transform(
@@ -381,7 +383,7 @@ FROM (
     "q86_pack_sequences" ->
       s"""WITH docs AS (SELECT * FROM documents),
          |normd AS (SELECT doc_id, source,
-         |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS nw FROM docs),
+         |  CAST(len($wordsSql) AS BIGINT) AS nw FROM docs),
          |c AS (SELECT *, COALESCE(sum(nw) OVER (PARTITION BY source ORDER BY doc_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre FROM normd),
          |p AS (SELECT source,

@@ -317,6 +317,15 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(("c0", 5, "x"), ("c1", 1, "y"), ("c2", 1, "z")))
   }
 
+  test("keepFirst: null keys form their own group (null-safe join)") {
+    val d = Seq(("a", 0, Some("k")), ("b", 1, None), ("c", 2, None))
+      .toDF("id", "ord", "key")
+    val kept = Dedup.keepFirst(d, col("key"), Seq(col("ord")))
+      .select("id").as[String].collect().toSet
+    // first null-key row survives; an equi-join would drop b AND c
+    assert(kept == Set("a", "b"))
+  }
+
   test("decontaminate plan: broadcast left-semi join, scan pruned to id+text") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = Dedup.decontaminate(
