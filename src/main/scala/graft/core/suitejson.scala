@@ -257,7 +257,8 @@ object SuiteJson {
     case "expect_column_value_z_scores_to_be_less_than" =>
       ExpectColumnValueZScoresToBeLessThan(kw.str("column"),
         kw.dblOpt("threshold").get, kw.bool("double_sided", true),
-        kw.mostly, kw.rowCondition)
+        kw.mostly, kw.rowCondition,
+        exactMoments = kw.bool("exact_moments", false))
     case "expect_column_pair_values_to_be_equal" =>
       ExpectColumnPairValuesToBeEqual(kw.str("column_A"), kw.str("column_B"),
         kw.ignoreRowIf, kw.mostly, kw.rowCondition)
@@ -302,7 +303,8 @@ object SuiteJson {
     case "expect_column_stdev_to_be_between" =>
       ExpectColumnStdevToBeBetween(kw.str("column"), kw.anyOpt("min_value"),
         kw.anyOpt("max_value"), kw.bool("strict_min", false),
-        kw.bool("strict_max", false), kw.rowCondition)
+        kw.bool("strict_max", false), kw.rowCondition,
+        exactMoments = kw.bool("exact_moments", false))
     case "expect_column_unique_value_count_to_be_between" =>
       ExpectColumnUniqueValueCountToBeBetween(kw.str("column"),
         kw.anyOpt("min_value"), kw.anyOpt("max_value"), kw.rowCondition)
@@ -326,7 +328,8 @@ object SuiteJson {
           if (it(1).isNull) None else Some(it(1).asDouble()))
       }.toSeq
       ExpectColumnQuantileValuesToBeBetween(kw.str("column"), qs, ranges,
-        kw.dblOpt("relative_error").getOrElse(1e-4), kw.rowCondition)
+        kw.dblOpt("relative_error").getOrElse(1e-4), kw.rowCondition,
+        exact = kw.bool("exact", false))
     case "expect_column_most_common_value_to_be_in_set" =>
       ExpectColumnMostCommonValueToBeInSet(kw.str("column"), kw.seq("value_set"),
         kw.bool("ties_okay", false), kw.rowCondition)

@@ -148,6 +148,7 @@ object SuiteWriter {
     case x: ExpectColumnValueZScoresToBeLessThan =>
       base(x.expectationType, Seq("column" -> x.column,
         "threshold" -> x.threshold, "double_sided" -> x.doubleSided) ++
+        (if (x.exactMoments) Seq("exact_moments" -> true) else Nil) ++
         mapKw(x.mostly, x.rowCondition): _*)
     case x: ExpectColumnPairValuesToBeEqual =>
       base(x.expectationType, Seq("column_A" -> x.columnA,
@@ -185,7 +186,8 @@ object SuiteWriter {
     case x: ExpectColumnMeanToBeBetween => aggBetween(x.expectationType,
       x.column, x.minValue, x.maxValue, x.strictMin, x.strictMax, x.rowCondition)
     case x: ExpectColumnStdevToBeBetween => aggBetween(x.expectationType,
-      x.column, x.minValue, x.maxValue, x.strictMin, x.strictMax, x.rowCondition)
+      x.column, x.minValue, x.maxValue, x.strictMin, x.strictMax, x.rowCondition,
+      extra = if (x.exactMoments) Seq("exact_moments" -> true) else Nil)
     case x: ExpectColumnUniqueValueCountToBeBetween =>
       base(x.expectationType, Seq("column" -> x.column) ++
         x.minValue.map("min_value" -> slot(_)) ++
@@ -212,7 +214,9 @@ object SuiteWriter {
           "value_ranges" -> x.ranges.map(r =>
             Seq[Any](r._1.map(d => d: Any).orNull,
               r._2.map(d => d: Any).orNull))),
-        "relative_error" -> x.relativeError) ++ rcKw(x.rowCondition): _*)
+        "relative_error" -> x.relativeError) ++
+        (if (x.exact) Seq("exact" -> true) else Nil) ++
+        rcKw(x.rowCondition): _*)
     case x: ExpectColumnMostCommonValueToBeInSet =>
       base(x.expectationType, Seq("column" -> x.column,
         "value_set" -> x.valueSet.map(slot), "ties_okay" -> x.tiesOkay) ++
@@ -319,11 +323,13 @@ object SuiteWriter {
 
   private def aggBetween(tp: String, column: String, minValue: Option[Any],
       maxValue: Option[Any], strictMin: Boolean, strictMax: Boolean,
-      rc: Option[String]): Map[String, Any] =
+      rc: Option[String],
+      extra: Seq[(String, Any)] = Nil): Map[String, Any] =
     base(tp, Seq("column" -> column) ++
       minValue.map("min_value" -> slot(_)) ++
       maxValue.map("max_value" -> slot(_)) ++
       (if (strictMin) Seq("strict_min" -> true) else Nil) ++
       (if (strictMax) Seq("strict_max" -> true) else Nil) ++
+      extra ++
       rcKw(rc): _*)
 }

@@ -36,6 +36,7 @@ class SuiteWriterSpec extends AnyFunSuite {
     ExpectColumnValuesToMatchJsonSchema("a", """{"type":"object"}"""),
     ExpectColumnValuesToBeDateutilParseable("a"),
     ExpectColumnValueZScoresToBeLessThan("a", 1.96, doubleSided = false),
+    ExpectColumnValueZScoresToBeLessThan("a", 3.0, exactMoments = true),
     ExpectColumnPairValuesToBeEqual("a", "b",
       ignoreRowIf = IgnoreRowIf.EitherValueIsMissing),
     ExpectColumnPairValuesAToBeGreaterThanB("a", "b", orEqual = true),
@@ -49,6 +50,7 @@ class SuiteWriterSpec extends AnyFunSuite {
     ExpectColumnSumToBeBetween("a", Some(0L), Some(1000L)),
     ExpectColumnMeanToBeBetween("a", Some(1.5), Some(2.5)),
     ExpectColumnStdevToBeBetween("a", Some(0.1), None),
+    ExpectColumnStdevToBeBetween("a", Some(0.1), None, exactMoments = true),
     ExpectColumnUniqueValueCountToBeBetween("a", Some(1L), Some(10L)),
     ExpectColumnProportionOfUniqueValuesToBeBetween("a", Some(0.1), Some(0.9)),
     ExpectTableRowCountToBeBetween(Some(100L), None),
@@ -56,6 +58,8 @@ class SuiteWriterSpec extends AnyFunSuite {
     ExpectColumnMedianToBeBetween("a", Some(5.0), Some(6.0)),
     ExpectColumnQuantileValuesToBeBetween("a", Seq(0.25, 0.75),
       Seq((Some(1.0), Some(2.0)), (None, Some(9.0))), relativeError = 1e-3),
+    ExpectColumnQuantileValuesToBeBetween("a", Seq(0.5),
+      Seq((Some(1.0), Some(9.0))), exact = true),
     ExpectColumnMostCommonValueToBeInSet("a", Seq("m"), tiesOkay = true),
     ExpectColumnDistinctValuesToBeInSet("a", Seq(1L, 2L)),
     ExpectColumnDistinctValuesToBeInSet("a", Nil, universalSet = true),
