@@ -172,6 +172,17 @@ object PipelineQueries {
           size(split(col("chunk_text"), " ")).cast(IntegerType))
         .orderBy("doc_id", "chunk_idx")),
 
+    /** Temperature-flattened mixing (alpha = 1/2) over the skewed
+      * first-source-digit grouping (digit '1' covers src1 + src10..19 =
+      * 11× the mass of the others): keep rate sqrt(n_g / n_max), rates
+      * derived in-plan. */
+    "q88_temperature_mix" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("grp", substring(col("source"), 4, 1))
+      graft.sources.Partitioners.sampleTemperatureHalf(d, "doc_id", "grp")
+        .groupBy("grp").agg(count(lit(1)).as("n_kept"))
+        .orderBy("grp")
+    }),
+
     /** Shard-parallel sequence packing at a 512-word budget: seq_id from
       * the exclusive prefix sum within each source shard. */
     "q86_pack_sequences" -> ((s, dir) => {
@@ -379,6 +390,18 @@ FROM (
          |    CAST(floor(CAST(n-1 AS DOUBLE)/10) AS INT))) AS u(s))
          |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text, n_words
          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q88_temperature_mix" ->
+      """WITH d AS (SELECT doc_id, substr(source, 4, 1) AS grp FROM documents),
+        |c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |m AS (SELECT max(n) AS nmax FROM c),
+        |r AS (SELECT grp, sqrt(CAST(n AS DOUBLE) / CAST(nmax AS DOUBLE)) AS rate
+        |      FROM c, m)
+        |SELECT d.grp, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM d JOIN r USING (grp)
+        |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)) AS BIGINT) AS DOUBLE)
+        |  < rate * 4294967296.0
+        |GROUP BY 1 ORDER BY grp""".stripMargin,
 
     "q86_pack_sequences" ->
       s"""WITH docs AS (SELECT * FROM documents),

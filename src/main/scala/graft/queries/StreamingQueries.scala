@@ -124,6 +124,22 @@ object StreamingQueries {
         below_count, above_count, nonnull_count, drift
         FROM $view ORDER BY day""")
     }),
+    "q87_stream_filter_agreement" -> ((s, dir) => {
+      // per-day confusion between the STATELESS keep label (all rules
+      // minus the stateful role-sequence one) and the cheap lang+len
+      // proxy — the monitor that catches a proxy filter drifting away
+      // from the full one
+      val staged = stage(s, dir)
+      val qf = StreamingValidate.qualityFilterStream(replay(s, staged))
+      val label = col("lang_ok") && col("ppl_ok") && col("len_ok") &&
+        col("symbol_ok") && col("rep_ok") && !col("tox_found")
+      val pred = col("lang_ok") && col("len_ok")
+      val view = runToMemory(StreamingValidate.confusionDriftStream(
+        qf, label, pred, "ts", "1 hour", "1 day"), "complete")
+      dropStaged(staged)
+      s.sql(s"""SELECT date_format(window.start, 'yyyy-MM-dd') AS day,
+        element_count, tp, fp, fn, tn FROM $view ORDER BY day""")
+    }),
     "q80_stream_decontaminate" -> ((s, dir) => {
       // stream-static decontamination: the corpus replays as a bounded
       // file stream and each micro-batch semi-joins the STATIC broadcast
@@ -179,7 +195,20 @@ object StreamingQueries {
     "q70_stream_kl_drift" -> q70Oracle,
     "q71_stream_cont_drift" -> q71Oracle,
     // stream-static replay computes EXACTLY the batch decontamination
-    "q80_stream_decontaminate" -> PipelineQueries.decontaminateOracle)
+    "q80_stream_decontaminate" -> PipelineQueries.decontaminateOracle,
+    // NOTE: no stripMargin — qfTurnsSql's interpolated lines start with ||
+    "q87_stream_filter_agreement" ->
+      (s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+  count(*) AS element_count,
+  CAST(sum(CASE WHEN lbl AND prd THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+  CAST(sum(CASE WHEN NOT lbl AND prd THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+  CAST(sum(CASE WHEN lbl AND NOT prd THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+  CAST(sum(CASE WHEN NOT lbl AND NOT prd THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM (SELECT ts,
+    (lang_ok AND ppl_ok AND len_ok AND symbol_ok AND rep_ok AND NOT tox_found) AS lbl,
+    (lang_ok AND len_ok) AS prd
+  FROM (${TranscriptOracles.qfTurnsSql}) q) p
+GROUP BY 1 ORDER BY day"""))
 
   /** q71: per-day histogram + the same finite-endpoint continuous-KL
     * arithmetic as the streaming expression (np.histogram last-bin-closed;

@@ -112,6 +112,29 @@ object Partitioners {
     * sampleWeighted and its oracles). */
   def rateThreshold(p: Double): Long = (p * 4294967296.0).toLong
 
+  /** Temperature-flattened mixing at alpha = 1/2: each group's keep rate
+    * is sqrt(n_g / n_max), i.e. keep probability ∝ n^(alpha-1) — the
+    * standard multilingual temperature-sampling rebalance that
+    * up-weights small sources without discarding most of the big ones.
+    * Rates are DERIVED FROM THE DATA inside the plan (group counts →
+    * broadcast rate table → map-side filter; no driver collect), and
+    * alpha is fixed at 1/2 because sqrt is IEEE exactly-rounded — the
+    * whole path stays bit-reproducible where a general pow() is not. */
+  def sampleTemperatureHalf(df: DataFrame, keyCol: String, groupCol: String,
+      seed: Long = 0L): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(max(col("__n")).as("__nmax"))))
+      .select(col(groupCol).as("__g"),
+        sqrt(col("__n").cast(DoubleType) / col("__nmax").cast(DoubleType))
+          .as("__rate"))
+    df.join(broadcast(rates), col(groupCol) === col("__g"))
+      .filter(
+        conv(substring(md5(concat(col(keyCol).cast(StringType), lit(s":$seed"))), 1, 8),
+          16, 10).cast(LongType).cast(DoubleType) < col("__rate") * lit(4294967296.0))
+      .drop("__g", "__rate")
+  }
+
   def sampleMod(df: DataFrame, column: String, mod: Int, value: Int): DataFrame =
     df.filter(col(column) % mod === value)
 

@@ -81,6 +81,25 @@ object StreamingValidate {
     QualityFilter.withRulesStateless(scored)
   }
 
+  /** Windowed filter-agreement monitor: confusion counts between a
+    * reference label column and a cheap proxy per event-time window —
+    * "is my cheap filter still agreeing with the full one as the stream
+    * drifts?". Stateless columns only, ONE watermarked sum-when
+    * aggregate; exact long counts, so downstream ratios are
+    * bit-deterministic (see Evaluation.binaryConfusion for the batch
+    * twin). */
+  def confusionDriftStream(stream: DataFrame, labelCol: org.apache.spark.sql.Column,
+      predCol: org.apache.spark.sql.Column, tsCol: String,
+      watermarkDelay: String, windowDur: String): DataFrame =
+    stream.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("element_count"),
+        sum(when(labelCol && predCol, 1L).otherwise(0L)).as("tp"),
+        sum(when(!labelCol && predCol, 1L).otherwise(0L)).as("fp"),
+        sum(when(labelCol && !predCol, 1L).otherwise(0L)).as("fn"),
+        sum(when(!labelCol && !predCol, 1L).otherwise(0L)).as("tn"))
+
   /** Streaming distribution-drift monitor: per-event-time-window
     * categorical KL divergence of the stream's value histogram against an
     * expected partition — the continuous-ingestion analogue of

@@ -133,4 +133,18 @@ class PartitionersSpec extends AnyFunSuite {
     assert(q.subsetOf(h) && q.nonEmpty && h.size < 2000)
     assert(ids(0.5) == h) // deterministic across runs
   }
+
+  test("temperature mixing (alpha=1/2): max group keeps all, small thins") {
+    import graft.sources.Partitioners
+    val df = ((1 to 1600).map(i => (i.toLong, "big")) ++
+      (2001 to 2100).map(i => (i.toLong, "small"))).toDF("id", "g")
+    def kept() = Partitioners.sampleTemperatureHalf(df, "id", "g")
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = kept()
+    assert(k("big") == 1600L) // rate sqrt(1600/1600) = 1.0
+    // small rate = sqrt(100/1600) = 0.25: thinned but nonempty
+    assert(k.getOrElse("small", 0L) > 0L && k("small") < 100L)
+    assert(kept() == k) // deterministic
+  }
 }
