@@ -136,6 +136,7 @@ class PartitionersSpec extends AnyFunSuite {
 
   test("temperature mixing (alpha=1/2): max group keeps all, small thins") {
     import graft.sources.Partitioners
+    import spark.implicits._
     val df = ((1 to 1600).map(i => (i.toLong, "big")) ++
       (2001 to 2100).map(i => (i.toLong, "small"))).toDF("id", "g")
     def kept() = Partitioners.sampleTemperatureHalf(df, "id", "g")
