@@ -670,8 +670,10 @@ object Moments {
   def stddevExact(c0: Column): Column = {
     val c = c0.cast(DoubleType)
     val n = count(c).cast(DoubleType)
-    // n <= 1 → NULL, matching stddev_samp (an unguarded /(n-1) would throw
-    // DIVIDE_BY_ZERO under ANSI and poison every sibling in the fused job)
+    // n <= 1 → NULL, matching Spark 4's default stddev_samp (NULL for
+    // n <= 1 with legacy.statisticalAggregate off) and DuckDB; an
+    // unguarded /(n-1) would throw DIVIDE_BY_ZERO under ANSI and poison
+    // every sibling in the fused job
     when(n > lit(1.0),
       sqrt((sum(c * c) - sum(c) * sum(c) / n) / (n - lit(1.0))))
       .otherwise(lit(null).cast(DoubleType))

@@ -312,9 +312,10 @@ ORDER BY conv_id, turn_idx"""),
     // no stripMargin: the interpolated transcript SQL has "||" line starts
     "q81_keep_f1" ->
       (s"""SELECT tp, fp, fn, tn,
-  CAST(tp AS DOUBLE) / (tp + fp) AS precision,
-  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
-  CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn) AS f1
+  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+  CASE WHEN tp * 2 + fp + fn > 0
+       THEN CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn) END AS f1
 FROM (
   SELECT CAST(sum(CASE WHEN keep AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
     CAST(sum(CASE WHEN NOT keep AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,

@@ -122,13 +122,17 @@ object Partitioners {
     * whole path stays bit-reproducible where a general pow() is not. */
   def sampleTemperatureHalf(df: DataFrame, keyCol: String, groupCol: String,
       seed: Long = 0L): DataFrame = {
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-    val rates = counts
-      .crossJoin(broadcast(counts.agg(max(col("__n")).as("__nmax"))))
+    import org.apache.spark.sql.expressions.Window
+    // ONE aggregation: n_max comes from a global window over the
+    // already-tiny counts frame (one row per group), not a second scan of
+    // the input. A null group counts and samples like any other group
+    // (null-safe join below), mirroring keepFirst's null semantics.
+    val rates = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__nmax", max(col("__n")).over(Window.partitionBy()))
       .select(col(groupCol).as("__g"),
         sqrt(col("__n").cast(DoubleType) / col("__nmax").cast(DoubleType))
           .as("__rate"))
-    df.join(broadcast(rates), col(groupCol) === col("__g"))
+    df.join(broadcast(rates), col(groupCol) <=> col("__g"))
       .filter(
         conv(substring(md5(concat(col(keyCol).cast(StringType), lit(s":$seed"))), 1, 8),
           16, 10).cast(LongType).cast(DoubleType) < col("__rate") * lit(4294967296.0))

@@ -34,40 +34,4 @@ class ChunkingSpec extends AnyFunSuite {
     // s2 restarts: 0, 600 → seqs 0, 1
     assert(r(("s2", 1L)) == 0L && r(("s2", 2L)) == 1L)
   }
-
-  test("binaryConfusion: degenerate matrices give null metrics, not errors") {
-    import graft.operators.Evaluation
-    val d = Seq((true, false), (false, false)).toDF("label", "pred")
-    val r = Evaluation.binaryConfusion(d, col("label"), col("pred")).collect().head
-    assert(r.getLong(0) == 0L) // tp
-    assert(r.isNullAt(4), "precision must be null with no predicted positives")
-    assert(!r.isNullAt(5) && r.getDouble(5) == 0.0) // recall = 0/1
-    assert(!r.isNullAt(6) && r.getDouble(6) == 0.0) // f1 = 0/(0+0+1)
-    val allTn = Seq((false, false)).toDF("label", "pred")
-    val r2 = Evaluation.binaryConfusion(allTn, col("label"), col("pred"))
-      .collect().head
-    assert(r2.isNullAt(4) && r2.isNullAt(5) && r2.isNullAt(6))
-  }
-
-  test("text profiler annotate: empty text gives zero counts, null fracs") {
-    val d = Seq((1L, ""), (2L, "one"), (3L, "a a b")).toDF("doc_id", "text")
-    val a = graft.core.TextProfiler.annotate(d, "text")
-      .select("doc_id", "n_words", "top_word_frac", "dup_2gram_frac")
-      .collect().map(r => r.getLong(0) ->
-        (r.getInt(1), Option(r.get(2)), Option(r.get(3)))).toMap
-    assert(a(1L) == ((0, None, None)))
-    assert(a(2L) == ((1, Some(1.0), None)))
-    assert(a(3L)._1 == 3 && a(3L)._2.isDefined && a(3L)._3.isDefined)
-  }
-
-  test("exact-moment stdev on a single-row domain fails gracefully") {
-    import graft.core._
-    val d = Seq(7).toDF("v")
-    val sr = Graft.validate(d, Suite("one", Seq(
-      ExpectColumnStdevToBeBetween("v", Some(0.0), None, exactMoments = true),
-      ExpectColumnStdevToBeBetween("v", Some(0.0), None))))
-    // both variants observe NULL (n-1 = 0) and fail identically — no
-    // DIVIDE_BY_ZERO aborting the fused pass
-    assert(sr.results.map(_.success) == Seq(false, false))
-  }
 }

@@ -178,6 +178,19 @@ class EngineSpec extends AnyFunSuite {
     assert(sr.results.drop(2).forall(_.result("unexpected_count") == 0L))
   }
 
+  test("exact-moment stdev on a single-row domain: NULL observed, like Welford") {
+    val d = Seq(7).toDF("v")
+    val sr = Graft.validate(d, Suite("one", Seq(
+      ExpectColumnStdevToBeBetween("v", Some(0.0), None, exactMoments = true),
+      ExpectColumnStdevToBeBetween("v", Some(0.0), None))))
+    // both variants observe NULL at n=1 (Spark 4 default stddev_samp is
+    // NULL with legacy.statisticalAggregate off) and fail identically —
+    // no DIVIDE_BY_ZERO aborting the fused pass
+    assert(sr.results.map(_.success) == Seq(false, false))
+    assert(sr.results.forall(_.result("observed_value") == null),
+      sr.results.map(_.result("observed_value")).mkString(","))
+  }
+
   test("aggregate expectations share the fused pass and validate bounds") {
     val sr = Graft.validate(df, Suite("t", Seq(
       ExpectColumnMeanToBeBetween("x", Some(5.0), Some(6.0)),

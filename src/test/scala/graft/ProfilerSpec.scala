@@ -53,6 +53,19 @@ class ProfilerSpec extends AnyFunSuite {
     assert(Graft.validate(df, suite).success)
   }
 
+  test("text profiler annotate: empty text gives zero counts, null fracs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = Seq((1L, ""), (2L, "one"), (3L, "a a b")).toDF("doc_id", "text")
+    val a = TextProfiler.annotate(d, "text")
+      .select("doc_id", "n_words", "top_word_frac", "dup_2gram_frac")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(a(1L) == ((0, None, None)))
+    assert(a(2L) == ((1, Some(1.0), None)))
+    assert(a(3L)._1 == 3 && a(3L)._2.isDefined && a(3L)._3.isDefined)
+  }
+
   test("text profiler: derived gates validate green on their own corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val suite = TextProfiler.textSuite(docs, "text")
