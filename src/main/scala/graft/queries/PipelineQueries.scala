@@ -172,6 +172,16 @@ object PipelineQueries {
           size(split(col("chunk_text"), " ")).cast(IntegerType))
         .orderBy("doc_id", "chunk_idx")),
 
+    /** Conversation-level rollup via the SALTED two-phase aggregation
+      * (hot conv_ids split across partial groups before the merge — the
+      * skew defense the north star names) — oracle-checked against a
+      * plain single-phase GROUP BY. */
+    "q89_conv_stats" -> ((s, dir) => {
+      val qf = graft.transcripts.QualityFilter(
+        graft.transcripts.Transcripts.fromEvents(s, dir))
+      graft.transcripts.QualityFilter.convStatsSalted(qf).orderBy("conv_id")
+    }),
+
     /** Temperature-flattened mixing (alpha = 1/2) over the skewed
       * first-source-digit grouping (digit '1' covers src1 + src10..19 =
       * 11× the mass of the others): keep rate sqrt(n_g / n_max), rates
@@ -391,6 +401,14 @@ FROM (
          |    CAST(floor(CAST(n-1 AS DOUBLE)/10) AS INT))) AS u(s))
          |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk_text, n_words
          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // no stripMargin: qfTurnsSql's interpolated lines start with ||
+    "q89_conv_stats" ->
+      (s"""SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  CAST(max(turn_idx) AS INT) AS max_turn_idx
+FROM (${TranscriptOracles.qfTurnsSql}) q
+GROUP BY 1 ORDER BY conv_id"""),
 
     "q88_temperature_mix" ->
       """WITH d AS (SELECT doc_id, substr(source, 4, 1) AS grp FROM documents),
