@@ -205,6 +205,18 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
         k = 3, nProbe = 2)
         .orderBy("query_id", "rank")
     }),
+    /** Full near-dup dedup composition: verified pair list → connected
+      * components → one surviving representative (min id) per cluster,
+      * pass-through for unpaired docs — the shape production dedup
+      * actually ships. */
+    "q90_dedup_canonical" -> ((s, dir) => {
+      val d = augDocs(s, dir)
+      Dedup.dedupByPairs(d, "doc_id",
+          Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.5,
+            maxDf = Int.MaxValue),
+          "doc_a", "doc_b")
+        .select("doc_id").orderBy("doc_id")
+    }),
     /** ANN quality evaluation: per-query recall@3 of banded sign-LSH
       * against exact brute force — the dial a production ANN deployment
       * tunes band count / nProbe against. */
@@ -292,6 +304,19 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos FROM r
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
+    "q90_dedup_canonical" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |       UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT a, a FROM ed
+         |  UNION
+         |  SELECT ed.a, reach.lbl FROM ed JOIN reach ON ed.b = reach.node),
+         |cc AS (SELECT node AS id, min(lbl) AS cluster FROM reach GROUP BY node)
+         |SELECT d.doc_id FROM docs d LEFT JOIN cc ON cc.id = d.doc_id
+         |WHERE cc.cluster IS NULL OR cc.cluster = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "q84_ann_recall" -> {
       def bt(src: String) = (0 until 4).map(b =>
         s"SELECT vec_id, $b AS b, (${bandKeySql("embedding", b)}) AS bk FROM $src")

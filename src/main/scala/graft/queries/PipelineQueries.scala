@@ -182,6 +182,17 @@ object PipelineQueries {
       graft.transcripts.QualityFilter.convStatsSalted(qf).orderBy("conv_id")
     }),
 
+    /** Conversation-level gating: drop whole conversations whose keep
+      * rate falls below 1/2 — integer-exact 2·n_keep ≥ n_turns, the
+      * whole-document quality gate stacked on the per-turn filter. */
+    "q91_conv_gate" -> ((s, dir) => {
+      val qf = graft.transcripts.QualityFilter(
+        graft.transcripts.Transcripts.fromEvents(s, dir))
+      graft.transcripts.QualityFilter.convStatsSalted(qf)
+        .filter(col("n_keep") * 2 >= col("n_turns"))
+        .orderBy("conv_id")
+    }),
+
     /** Temperature-flattened mixing (alpha = 1/2) over the skewed
       * first-source-digit grouping (digit '1' covers src1 + src10..19 =
       * 11× the mass of the others): keep rate sqrt(n_g / n_max), rates
@@ -409,6 +420,14 @@ FROM (
   CAST(max(turn_idx) AS INT) AS max_turn_idx
 FROM (${TranscriptOracles.qfTurnsSql}) q
 GROUP BY 1 ORDER BY conv_id"""),
+
+    "q91_conv_gate" ->
+      (s"""SELECT conv_id, n_turns, n_keep, max_turn_idx FROM (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+    CAST(max(turn_idx) AS INT) AS max_turn_idx
+  FROM (${TranscriptOracles.qfTurnsSql}) q GROUP BY 1
+) c WHERE n_keep * 2 >= n_turns ORDER BY conv_id"""),
 
     "q88_temperature_mix" ->
       """WITH d AS (SELECT doc_id, substr(source, 4, 1) AS grp FROM documents),
