@@ -34,4 +34,24 @@ class ChunkingSpec extends AnyFunSuite {
     // s2 restarts: 0, 600 → seqs 0, 1
     assert(r(("s2", 1L)) == 0L && r(("s2", 2L)) == 1L)
   }
+
+  test("chunkWords plan is map-side only: no Exchange, pruned scan") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Chunking.chunkWords(d, "doc_id", "text", 20, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("ReadSchema") && !l.contains("n_chars")), s"unpruned:\n$plan")
+  }
+
+  test("packByCumulativeWords plan: shard-partitioned window, never a global sort") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("n_words", lit(10L))
+    val plan = Chunking.packByCumulativeWords(d, "source", "doc_id", "n_words", 512)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source"),
+      s"window must partition by the shard column:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"packing must never serialize on one partition:\n$plan")
+  }
 }
