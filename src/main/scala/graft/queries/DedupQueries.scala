@@ -110,6 +110,20 @@ object DedupQueries {
        |    / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) AS jaccard
        |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b)""".stripMargin
 
+  /** Recursive transitive closure over the verified pair list (stacks on
+    * ngramPairCtes' `j`): reach(node, lbl) reaches every label, so
+    * min(lbl) per node is exactly connectedComponents' fixpoint. ONE
+    * definition shared by q65 and q90 so the closure can never diverge
+    * between them. */
+  private val ccClosureCtes: String =
+    """pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+      |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |       UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(node, lbl) AS (
+      |  SELECT a, a FROM ed
+      |  UNION
+      |  SELECT ed.a, reach.lbl FROM ed JOIN reach ON ed.b = reach.node)""".stripMargin
+
   private val minhashOracle: String = {
     val sigExprs = (0 until K).map(j =>
       s"list_min(list_transform(s, x -> md5('$j:' || x)))").mkString("[", ", ", "]")
@@ -240,16 +254,8 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
       s"""WITH $ngramPairCtes
          |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "q65_dedup_clusters" ->
-      // transitive closure of the same verified pair list: cluster = min
-      // reachable doc id per node (exactly connectedComponents' fixpoint)
       s"""WITH RECURSIVE $ngramPairCtes,
-         |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
-         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |       UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(node, lbl) AS (
-         |  SELECT a, a FROM ed
-         |  UNION
-         |  SELECT ed.a, reach.lbl FROM ed JOIN reach ON ed.b = reach.node)
+         |$ccClosureCtes
          |SELECT node AS id, min(lbl) AS cluster FROM reach
          |GROUP BY node ORDER BY id""".stripMargin,
     "q16_dedup_simhash_fp" -> simhashFpOracle,
@@ -306,13 +312,7 @@ FROM cand WHERE bit_count(xor(fa, fb)) <= 6 ORDER BY doc_a, doc_b"""
     },
     "q90_dedup_canonical" ->
       s"""WITH RECURSIVE $ngramPairCtes,
-         |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
-         |ed AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |       UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(node, lbl) AS (
-         |  SELECT a, a FROM ed
-         |  UNION
-         |  SELECT ed.a, reach.lbl FROM ed JOIN reach ON ed.b = reach.node),
+         |$ccClosureCtes,
          |cc AS (SELECT node AS id, min(lbl) AS cluster FROM reach GROUP BY node)
          |SELECT d.doc_id FROM docs d LEFT JOIN cc ON cc.id = d.doc_id
          |WHERE cc.cluster IS NULL OR cc.cluster = d.doc_id

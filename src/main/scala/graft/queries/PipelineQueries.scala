@@ -216,6 +216,17 @@ object PipelineQueries {
         .orderBy("source", "seq_id")
     }))
 
+  /** The conv-stats aggregation over qfTurnsSql — ONE definition shared
+    * by q89 and q91's oracles so the rollup can never diverge between
+    * them. (No stripMargin anywhere near this: qfTurnsSql's interpolated
+    * lines start with "||".) */
+  private def convStatsAggSql: String =
+    s"""SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  CAST(max(turn_idx) AS INT) AS max_turn_idx
+FROM (${TranscriptOracles.qfTurnsSql}) q
+GROUP BY 1"""
+
   /** src0..src19 → rate by index mod 4 (shared with the q75 oracle). */
   private val mixRates: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> Seq(1.0, 0.5, 0.25, 0.125)(i % 4)).toMap
@@ -414,19 +425,11 @@ FROM (
          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // no stripMargin: qfTurnsSql's interpolated lines start with ||
-    "q89_conv_stats" ->
-      (s"""SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
-  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-  CAST(max(turn_idx) AS INT) AS max_turn_idx
-FROM (${TranscriptOracles.qfTurnsSql}) q
-GROUP BY 1 ORDER BY conv_id"""),
+    "q89_conv_stats" -> (convStatsAggSql + "\nORDER BY conv_id"),
 
     "q91_conv_gate" ->
       (s"""SELECT conv_id, n_turns, n_keep, max_turn_idx FROM (
-  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
-    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-    CAST(max(turn_idx) AS INT) AS max_turn_idx
-  FROM (${TranscriptOracles.qfTurnsSql}) q GROUP BY 1
+$convStatsAggSql
 ) c WHERE n_keep * 2 >= n_turns ORDER BY conv_id"""),
 
     "q88_temperature_mix" ->

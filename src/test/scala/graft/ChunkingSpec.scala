@@ -40,8 +40,12 @@ class ChunkingSpec extends AnyFunSuite {
     val plan = Chunking.chunkWords(d, "doc_id", "text", 20, 10)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
-    assert(plan.linesIterator.exists(l =>
-      l.contains("ReadSchema") && !l.contains("n_chars")), s"unpruned:\n$plan")
+    // check the scan's actual output schema, not the (truncatable)
+    // ReadSchema plan string
+    val scans = Chunking.chunkWords(d, "doc_id", "text", 20, 10)
+      .queryExecution.executedPlan.collectLeaves()
+    assert(scans.exists(_.output.map(_.name).toSet == Set("doc_id", "text")),
+      s"scan must read only doc_id+text: ${scans.map(_.output.map(_.name))}")
   }
 
   test("packByCumulativeWords plan: shard-partitioned window, never a global sort") {
