@@ -48,6 +48,22 @@ class ChunkingSpec extends AnyFunSuite {
       s"scan must read only doc_id+text: ${scans.map(_.output.map(_.name))}")
   }
 
+  test("chunkWords at stride == size partitions the text exactly") {
+    // non-overlapping chunks reassemble to the original normalized text
+    val texts = Seq("a b c d e f g", "one two", "x", "p q r s t")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rejoined = Chunking.chunkWords(d, "doc_id", "text", 3, 3)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", sort_array(collect_list(
+        struct(col("chunk_idx"), col("chunk_text")))).getField("chunk_text"))
+        .as("re"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(rejoined(i.toLong) == t, s"doc $i")
+    }
+  }
+
   test("packByCumulativeWords plan: shard-partitioned window, never a global sort") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("n_words", lit(10L))
