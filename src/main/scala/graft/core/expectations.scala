@@ -447,8 +447,12 @@ final case class ExpectColumnValueZScoresToBeLessThan(column: String,
     override val rowCondition: Option[String] = None,
     exactMoments: Boolean = false) extends ColumnMapExpectation {
   val expectationType = "expect_column_value_z_scores_to_be_less_than"
+  // exact_moments rides kwargs only when set (mirrors SuiteWriter's
+  // conditional emission) so the EVR records which resolution mode
+  // produced its mean/stddev
   def kwargs = Map("column" -> column, "threshold" -> threshold,
-    "double_sided" -> doubleSided, "mostly" -> mostly)
+    "double_sided" -> doubleSided, "mostly" -> mostly) ++
+    (if (exactMoments) Map("exact_moments" -> true) else Map.empty)
   // The bare condition is undefined until the runner injects mean/stddev
   // (expectedWith): fail loudly rather than let a lit(true) placeholder
   // leak into Graft.unexpectedValueCounts or an index query as a
@@ -673,9 +677,15 @@ object Moments {
     // n <= 1 → NULL, matching Spark 4's default stddev_samp (NULL for
     // n <= 1 with legacy.statisticalAggregate off) and DuckDB; an
     // unguarded /(n-1) would throw DIVIDE_BY_ZERO under ANSI and poison
-    // every sibling in the fused job
+    // every sibling in the fused job. The variance is clamped at 0: on
+    // integer-valued data (the documented precondition) the sums are
+    // exact and the clamp is a no-op, but a user who opts into
+    // exact_moments on non-integer data via suite JSON can see a tiny
+    // negative from cancellation — clamping yields stddev 0.0 (a visible
+    // near-constant-column answer) instead of a silent NaN
     when(n > lit(1.0),
-      sqrt((sum(c * c) - sum(c) * sum(c) / n) / (n - lit(1.0))))
+      sqrt(greatest(lit(0.0),
+        (sum(c * c) - sum(c) * sum(c) / n) / (n - lit(1.0)))))
       .otherwise(lit(null).cast(DoubleType))
   }
 }
@@ -753,7 +763,10 @@ final case class ExpectColumnStdevToBeBetween(column: String,
     override val rowCondition: Option[String] = None,
     exactMoments: Boolean = false)
     extends ColumnAggBetween("stdev",
-      c => if (exactMoments) Moments.stddevExact(c) else stddev_samp(c))
+      c => if (exactMoments) Moments.stddevExact(c) else stddev_samp(c)) {
+  override def kwargs = super.kwargs ++
+    (if (exactMoments) Map("exact_moments" -> true) else Map.empty)
+}
 final case class ExpectColumnUniqueValueCountToBeBetween(column: String,
     minValue: Option[Any] = None, maxValue: Option[Any] = None,
     override val rowCondition: Option[String] = None)
@@ -850,7 +863,8 @@ final case class ExpectColumnQuantileValuesToBeBetween(column: String,
     s"quantile_ranges: ${quantiles.size} quantiles but ${ranges.size} " +
       "value_ranges (the reference rejects mismatched lengths)")
   val expectationType = "expect_column_quantile_values_to_be_between"
-  def kwargs = Map("column" -> column, "quantiles" -> quantiles)
+  def kwargs = Map("column" -> column, "quantiles" -> quantiles) ++
+    (if (exact) Map("exact" -> true) else Map.empty)
   def run(df: DataFrame): Evr = {
     val vals: Array[Double] =
       if (exact) {

@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Passage chunking + sequence packing — the two reshaping steps between a
-  * cleaned corpus and a trainer (or a RAG index). Both are pure map-side /
-  * shard-parallel: no global coordination, deterministic output. */
+  * cleaned corpus and a trainer (or a RAG index). chunkWords is pure
+  * map-side (one explode, no shuffle); packing shuffles once by shard and
+  * sorts within each shard's window — parallel across shards, no GLOBAL
+  * sort or other cross-shard coordination. Both are deterministic. */
 object Chunking {
 
   /** Sliding word-window chunks: starts at 0, stride, 2·stride, … while

@@ -108,15 +108,22 @@ object Dedup {
       threshold: Double = 0.5, maxDf: Int = Lsh.DefaultMaxDf): DataFrame = {
     val sh = df.select(col(idCol).as("__sid"),
       graft.functions.MinHashSig.shingles_native(col(textCol)).as("__sh"))
-    // inverted index on the shingle md5 (32 bytes, never the shingle text).
+    // Inverted index on a 64-bit shingle hash (8 bytes/posting, never the
+    // shingle text). xxhash64 suffices for CANDIDATE generation: a
+    // collision can only add a false candidate pair, and exact Jaccard
+    // verification over the real shingle sets follows; it cannot lose a
+    // true pair. Memory math at scale: one posting row is
+    // (id: 8B, hash: 8B) ≈ 16 B + row overhead per distinct (doc, shingle)
+    // — with ~1 shingle/word that is well UNDER the corpus text bytes
+    // (vs ~5-8× when the hash was a 32-char hex string), and the
+    // serialized storage level keeps the cached form at wire size instead
+    // of deserialized-object size.
     // The posting table is cached for the duration of candidate generation:
     // its self-join (and the optional DF census) would otherwise re-run the
-    // shingle kernel + explode + md5 once per reference — the same
+    // shingle kernel + explode + hash once per reference — the same
     // double-evaluation the banded-LSH path eliminates (Lsh.withCappedBuckets)
-    val posting = sh.select(col("__sid").as("doc"),
-      explode(col("__sh")).as("__s"))
-      .select(col("doc"), md5(col("__s")).as("sh_hash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = shinglePostings(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val cand = try {
       val pruned =
         if (maxDf == Int.MaxValue) posting
@@ -141,6 +148,15 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** The inverted-index posting projection ngramJaccardPairs caches:
+    * (doc, sh_hash) with an 8-byte LongType hash — kept narrow on purpose
+    * (DedupSpec pins the schema so the 32-char hex form can't creep back). */
+  private[graft] def shinglePostings(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(graft.functions.MinHashSig.shingles_native(col(textCol))).as("__s"))
+      .select(col("doc"), xxhash64(col("__s")).as("sh_hash"))
 
   /** 60-bit token hash from the md5 hex prefix (cross-engine exact). */
   def tokenHash60(w: Column): Column =
@@ -205,14 +221,20 @@ object Dedup {
     * Distributed min-label propagation: each round ships every vertex's
     * current label one hop (edges ⋈ labels, then a min-combine groupBy) and
     * stops when no label changed. Rounds = component diameter — for dedup
-    * graphs (cliques and short chains by construction) a handful; the
-    * iteration cap fails loudly rather than looping on an adversarial path
-    * graph, where a large-star/small-star variant (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14) would be the
-    * drop-in. `localCheckpoint` truncates lineage each round so plan depth
-    * stays O(1), not O(iterations). Shuffles carry only (id, label) pairs. */
+    * graphs (cliques and short chains by construction) a handful. `maxIter`
+    * is the min-label round BUDGET, not a failure cap: a graph still
+    * changing after `maxIter` rounds has a diameter the propagation shape
+    * is wrong for, so the computation auto-switches to the
+    * O(log²n)-round large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) and
+    * converges there — a diameter-D chain costs min(D, maxIter) + O(log²n)
+    * rounds instead of D. Both algorithms produce the identical
+    * (id, cluster = min reachable id) labeling, so the switch is
+    * invisible in results. `localCheckpoint` truncates lineage each round
+    * so plan depth stays O(1), not O(iterations). Shuffles carry only
+    * (id, label) pairs. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 10): DataFrame = {
     val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
@@ -229,8 +251,8 @@ object Dedup {
           // not the clique/short-chain shape dedup produces) — switch to
           // the O(log²n)-round star-contraction algorithm instead of
           // spinning diameter-many more rounds
-          log.warn(s"connectedComponents: no convergence in $maxIter " +
-            "min-label rounds — falling back to star contraction " +
+          log.info(s"connectedComponents: not converged in $maxIter " +
+            "min-label rounds — switching to star contraction " +
             "(Kiveris et al., SoCC'14)")
           checkpointed.unpersist()
           return connectedComponentsStar(pairs, aCol, bCol)
@@ -405,11 +427,18 @@ object Dedup {
   }
 
   /** Drop contaminated documents (see decontaminate): anti-join the
-    * corpus on the contaminated-id set. */
+    * corpus on the contaminated-id set. `broadcastHint` governs BOTH the
+    * shingle-dictionary join inside decontaminate and the id anti-join
+    * here: contamination is normally rare (ids ≪ corpus, broadcast is
+    * right), but a heavily contaminated corpus or a huge benchmark union
+    * can exceed the broadcast limit — pass false and both joins fall back
+    * to shuffles that carry only (hash, id) pairs, never text. */
   def removeContaminated(corpus: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val hits = decontaminate(corpus, benchmark, idCol, textCol, n)
+      idCol: String, textCol: String, n: Int = 3,
+      broadcastHint: Boolean = true): DataFrame = {
+    val hits = decontaminate(corpus, benchmark, idCol, textCol, n, broadcastHint)
       .select(col(idCol).as("__hit_id"))
-    corpus.join(broadcast(hits), corpus(idCol) === col("__hit_id"), "left_anti")
+    val hinted = if (broadcastHint) broadcast(hits) else hits
+    corpus.join(hinted, corpus(idCol) === col("__hit_id"), "left_anti")
   }
 }

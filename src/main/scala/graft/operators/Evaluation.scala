@@ -14,14 +14,15 @@ object Evaluation {
     * no shuffle beyond the final 4-long reduction; the ratios are single
     * IEEE divisions of exact longs, so results are bit-reproducible
     * across engines and partitionings. Null label/pred rows count toward
-    * no quadrant (null && x never evaluates true). */
+    * no quadrant (null && x never evaluates true); an empty input yields
+    * zero counts, not the NULLs a bare sum-over-nothing returns. */
   def binaryConfusion(df: DataFrame, labelCol: Column,
       predCol: Column): DataFrame = {
     val counts = df.agg(
-      sum(when(labelCol && predCol, 1L).otherwise(0L)).as("tp"),
-      sum(when(!labelCol && predCol, 1L).otherwise(0L)).as("fp"),
-      sum(when(labelCol && !predCol, 1L).otherwise(0L)).as("fn"),
-      sum(when(!labelCol && !predCol, 1L).otherwise(0L)).as("tn"))
+      coalesce(sum(when(labelCol && predCol, 1L).otherwise(0L)), lit(0L)).as("tp"),
+      coalesce(sum(when(!labelCol && predCol, 1L).otherwise(0L)), lit(0L)).as("fp"),
+      coalesce(sum(when(labelCol && !predCol, 1L).otherwise(0L)), lit(0L)).as("fn"),
+      coalesce(sum(when(!labelCol && !predCol, 1L).otherwise(0L)), lit(0L)).as("tn"))
     // degenerate matrices (no predicted / no actual positives) → NULL
     // metric, not an ANSI DIVIDE_BY_ZERO that kills the job
     def ratio(num: Column, denom: Column): Column =

@@ -56,8 +56,13 @@ final case class BatchDefinition(
 
   /** All batch parameter combinations present in the data, in sort order —
     * one distinct over the truncated datetime (shuffles only the distinct
-    * keys). */
-  def batchIdentifiers(df: DataFrame): Seq[Map[String, Int]] = {
+    * keys). The collect is metadata-scale for any real datetime column
+    * (years × months × days), but a caller pointing this at a
+    * wild-cardinality column would otherwise OOM the driver — the
+    * [[BatchDefinition.MaxBatchIdentifiers]] cap turns that into a loud
+    * error instead (only cap+1 rows are ever fetched). */
+  def batchIdentifiers(df: DataFrame,
+      cap: Int = BatchDefinition.MaxBatchIdentifiers): Seq[Map[String, Int]] = {
     val parts: Seq[(String, org.apache.spark.sql.Column)] = granularity match {
       case Whole => return Seq(Map.empty)
       case Yearly => Seq("year" -> year(col(datetimeColumn)))
@@ -71,15 +76,25 @@ final case class BatchDefinition(
     val sortCols = parts.map { case (n, _) =>
       if (sortAscending) col(n).asc else col(n).desc
     }
-    df.filter(col(datetimeColumn).isNotNull)
+    val rows = df.filter(col(datetimeColumn).isNotNull)
       .select(cols: _*).distinct().orderBy(sortCols: _*)
+      .limit(cap + 1) // TakeOrdered: the driver never sees more than cap+1
       .collect()
-      .map(r => parts.map { case (n, _) => n -> r.getAs[Int](n) }.toMap)
+    require(rows.length <= cap,
+      s"batchIdentifiers($name): more than $cap distinct " +
+        s"$granularity batches in column '$datetimeColumn' — this is not a " +
+        "datetime-partitioned layout; slice explicitly instead")
+    rows.map(r => parts.map { case (n, _) => n -> r.getAs[Int](n) }.toMap)
       .toSeq
   }
 }
 
 object BatchDefinition {
+  /** Driver-safety cap for [[BatchDefinition.batchIdentifiers]]: ~275
+    * years of daily batches. Generous for any datetime layout, tiny for
+    * the driver. */
+  val MaxBatchIdentifiers: Int = 100000
+
   sealed trait Granularity
   case object Whole extends Granularity
   case object Yearly extends Granularity

@@ -219,6 +219,29 @@ class DedupSpec extends AnyFunSuite {
     assert(chain == (1L to 8L).map(_ -> 1L).toMap)
   }
 
+  test("CC default path: diameter-100 chain converges via the auto-switch") {
+    // 101-node path, diameter 100: the DEFAULT call must not spin 50+
+    // min-label rounds — after the (default 10-round) budget it switches
+    // to star contraction and still produces the exact min-id labeling
+    val path = spark.range(1L, 101L)
+      .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+    val got = Dedup.connectedComponents(path, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 101)
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("ngramJaccard posting table is (doc, 8-byte long hash) — never hex") {
+    val d = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val posting = Dedup.shinglePostings(d, "doc_id", "text")
+    val hashField = posting.schema("sh_hash")
+    assert(hashField.dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"posting hash must stay a 64-bit long (was ${hashField.dataType}) — " +
+        "a 32-char hex string multiplies the cached index ~4×")
+    assert(posting.schema.fields.length == 2)
+  }
+
   test("star-contraction CC: long path graph converges in O(log n) rounds") {
     // a 500-node path has diameter 499 — min-label would need 499 rounds;
     // star contraction must close it directly
@@ -358,5 +381,16 @@ class DedupSpec extends AnyFunSuite {
     val kept = Dedup.removeContaminated(corpus, benchmark, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L))
+    // broadcastHint = false (for heavily contaminated corpora that exceed
+    // the broadcast limit) must agree exactly and must not FORCE a
+    // broadcast — no hint in the plan; Catalyst stays free to pick one
+    // from size statistics, which is the point of making it a hint
+    val keptShuffle = Dedup.removeContaminated(corpus, benchmark,
+      "doc_id", "text", broadcastHint = false)
+    assert(keptShuffle.select("doc_id").as[Long].collect().toSet == Set(2L))
+    assert(!keptShuffle.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "broadcastHint=false must leave no broadcast hint in the plan")
+    val keptHinted = Dedup.removeContaminated(corpus, benchmark, "doc_id", "text")
+    assert(keptHinted.queryExecution.analyzed.toString.contains("ResolvedHint"))
   }
 }

@@ -651,8 +651,10 @@ class EngineSpec extends AnyFunSuite {
     big.count() // materialize outside the measured window
     spark.listenerManager.register(listener)
     try {
+      // the predicate literal is unique to THIS query so the async-bus
+      // plan filter below can never match a concurrent query's plan
       val r = Graft.validate(big, Suite("t", Seq(
-        UnexpectedRowsExpectation("SELECT * FROM {batch} WHERE x > 0"))))
+        UnexpectedRowsExpectation("SELECT * FROM {batch} WHERE x > -424242"))))
         .results.head
       assert(!r.success)
       assert(r.result("unexpected_count") == 500L) // true count, beyond the cap
@@ -665,7 +667,7 @@ class EngineSpec extends AnyFunSuite {
       // event can land AFTER registration — keep only plans carrying this
       // query's unique predicate before counting jobs.
       val snap = plans.synchronized(plans.toList)
-        .filter { case (fn, plan) => fn != "command" && plan.contains("> 0)") }
+        .filter { case (fn, plan) => fn != "command" && plan.contains("-424242") }
         .map(_._1)
       assert(snap.size == 1,
         s"count + sample must fuse into one job, saw ${snap.size}: $snap")

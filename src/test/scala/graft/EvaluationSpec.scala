@@ -22,6 +22,14 @@ class EvaluationSpec extends AnyFunSuite {
     assert(r2.isNullAt(4) && r2.isNullAt(5) && r2.isNullAt(6))
   }
 
+  test("binaryConfusion: empty input yields zero counts, not nulls") {
+    val d = Seq.empty[(Boolean, Boolean)].toDF("label", "pred")
+    val r = Evaluation.binaryConfusion(d, col("label"), col("pred")).collect().head
+    assert((0 to 3).forall(i => !r.isNullAt(i) && r.getLong(i) == 0L),
+      s"empty-input confusion counts must be 0, got $r")
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6)) // ratios: 0/0
+  }
+
   test("binaryConfusion: perfect and inverted predictors") {
     val d = Seq((true, true), (true, true), (false, false)).toDF("l", "p")
     val perfect = Evaluation.binaryConfusion(d, col("l"), col("p")).collect().head

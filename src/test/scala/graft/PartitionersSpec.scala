@@ -88,6 +88,11 @@ class PartitionersSpec extends AnyFunSuite {
       monthlyDesc.latestParameters(events))
     assert(BatchDefinition.wholeDataframe("w").latestBatch(events).count() ==
       events.count())
+    // identifier-count cap: a wild-cardinality column fails loudly instead
+    // of collecting an unbounded distinct to the driver
+    val e = intercept[IllegalArgumentException](daily.batchIdentifiers(events, cap = 2))
+    assert(e.getMessage.contains("more than 2 distinct"))
+    assert(ids.size <= graft.sources.BatchDefinition.MaxBatchIdentifiers)
   }
 
   test("deterministic md5 sampler is partitioning-invariant") {
