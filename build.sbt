@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through UNWRAPPED: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which breaks the
+// driver's parse of Bench's one-line JSON protocol (BENCH_r04.json
+// "parsed": null — the line was there but prefixed).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
