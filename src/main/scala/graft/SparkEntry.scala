@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Coverage2Queries, Coverage3Queries, Coverage4Queries, Coverage5Queries, CoverageQueries, DedupQueries, JsonQueries, MultimodalQueries, PipelineQueries, StreamingQueries, TextQueries}
+import graft.queries.{CoreQueries, Coverage2Queries, Coverage3Queries, Coverage4Queries, Coverage5Queries, Coverage6Queries, CoverageQueries, DedupQueries, JsonQueries, MultimodalQueries, PipelineQueries, StreamingQueries, TextQueries}
 import graft.transcripts.{QualityFilter, Transcripts}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -17,6 +17,7 @@ object SparkEntry {
       MultimodalQueries.queries ++ CoverageQueries.queries ++ JsonQueries.queries ++
       Coverage2Queries.queries ++ Coverage3Queries.queries ++
       Coverage4Queries.queries ++ Coverage5Queries.queries ++
+      Coverage6Queries.queries ++
       PipelineQueries.queries ++ StreamingQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -26,5 +27,6 @@ object SparkEntry {
       MultimodalQueries.oracles ++ CoverageQueries.oracles ++ JsonQueries.oracles ++
       Coverage2Queries.oracles ++ Coverage3Queries.oracles ++
       Coverage4Queries.oracles ++ Coverage5Queries.oracles ++
+      Coverage6Queries.oracles ++
       PipelineQueries.oracles ++ StreamingQueries.oracles
 }

@@ -1541,14 +1541,107 @@ final case class ExpectColumnBootstrappedKsTestPValueToBeGreaterThan(
     column: String, binEdges: Seq[Double], binWeights: Seq[Double],
     p: Double = 0.05, bootstrapSamples: Int = 1000,
     bootstrapSampleSize: Int = 0, seed: Long = 42L,
+    exact: Boolean = false,
     override val rowCondition: Option[String] = None) extends ValueExpectation {
   require(binEdges.size == binWeights.size + 1, "need |edges| = |weights| + 1")
   require(binEdges.forall(e => !e.isInfinite),
     "Partition endpoints must be finite")
   val expectationType =
     "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than"
-  def kwargs = Map("column" -> column, "p" -> p)
+  def kwargs = Map("column" -> column, "p" -> p) ++
+    (if (exact) Map("exact" -> true) else Map.empty)
+  private def sampleSize: Int =
+    if (bootstrapSampleSize > 0) bootstrapSampleSize else binWeights.size * 2
+
+  /** Cross-engine-exact resolution mode (`exact = true`): the resample is
+    * drawn with md5-derived uniforms (not SplittableRandom), the
+    * interpolated partition CDF is evaluated with precomputed IEEE-double
+    * coefficients, and the per-sample KS decision compares the sample's
+    * sup-distance to ONE precomputed critical value
+    * (StatsMath.ksCritical) instead of calling the libm-dependent
+    * survival function per sample — so the observed p-value
+    * (1 + #pass)/(samples + 1) is an exact rational reproduced
+    * bit-for-bit by a DuckDB oracle built from the same literals. The
+    * whole computation is distributed DataFrame ops: draws are generated
+    * with range+sequence, mapped to values through a broadcast join on
+    * the cumulative histogram, and reduced per sample — no driver loop.
+    * Default mode keeps the seeded SplittableRandom bootstrap
+    * (fixture-parity with the documented reference deviation). */
+  private def runExact(df: DataFrame): Evr = {
+    val spark = df.sparkSession
+    val size = sampleSize
+    require(size > 0, "bootstrap sample size must be positive")
+    require(binEdges.sliding(2).forall(w => w(0) < w(1)),
+      "exact bootstrapped KS requires strictly increasing bin edges")
+    val dCrit = graft.functions.StatsMath.ksCritical(size.toLong, p)
+    val vals = df.select(col(column).cast("double").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+    val hist = vals.groupBy("v").agg(count(lit(1)).as("cnt")).persist()
+    try {
+      val nDistinct = hist.count()
+      require(nDistinct <= KlMath.MaxCategories,
+        s"bootstrapped KS: column '$column' has more than " +
+          s"${KlMath.MaxCategories} distinct values — bucketize first")
+      if (nDistinct == 0)
+        return Evr(expectationType, kwargs, success = false,
+          Map("observed_value" -> null))
+      val n = hist.agg(sum("cnt")).head().getLong(0)
+      val w = Window.orderBy("v")
+      val ranges = hist.select(col("v"),
+        (sum("cnt").over(w) - col("cnt")).as("lo"),
+        sum("cnt").over(w).as("hi"))
+      val tot = hist.agg(sum("cnt").as("n"))
+      val draws = spark.range(0, bootstrapSamples.toLong)
+        .select(col("id").as("s"),
+          explode(sequence(lit(0), lit(size - 1))).as("i"))
+        .withColumn("u",
+          conv(substring(md5(concat(lit(s"$seed:"), col("s").cast("string"),
+            lit(":"), col("i").cast("string"))), 1, 15), 16, 10).cast("long"))
+      val drawn = draws.crossJoin(broadcast(tot))
+        .withColumn("t", col("u") % col("n"))
+        .join(broadcast(ranges), col("t") >= col("lo") && col("t") < col("hi"))
+        .select(col("s"), col("i"), col("v"))
+      val rn = row_number().over(Window.partitionBy("s").orderBy("v", "i"))
+      val scored = drawn
+        .select(col("s"), col("v"), rn.as("rn"), interpCdf(col("v")).as("f"))
+      val perSample = scored.groupBy("s").agg(
+        max(greatest(
+          col("rn").cast("double") / lit(size.toDouble) - col("f"),
+          col("f") - (col("rn") - 1).cast("double") / lit(size.toDouble)))
+          .as("d"))
+      val above = perSample.agg(
+        sum(when(col("d") <= lit(dCrit), 1L).otherwise(0L))).head().getLong(0)
+      val testResult = (1.0 + above) / (bootstrapSamples + 1).toDouble
+      Evr(expectationType, kwargs, testResult > p,
+        Map("observed_value" -> testResult,
+          "details" -> Map(
+            "bootstrap_samples" -> bootstrapSamples,
+            "bootstrap_sample_size" -> size,
+            "element_count" -> n,
+            "n_above" -> above,
+            "ks_d_critical" -> dCrit)))
+    } finally hist.unpersist()
+  }
+
+  /** np.interp-semantics partition CDF as ONE when-chain with coefficients
+    * precomputed in IEEE double (the oracle emits the identical literals;
+    * evaluation order a + b*(v-e)/d matches the SQL * / left-assoc). */
+  private def interpCdf(v: Column): Column = {
+    val edges = binEdges.toArray
+    val cdf = ExpectColumnBootstrappedKsTestPValueToBeGreaterThan
+      .cdfOf(binWeights)
+    var c = when(v <= lit(edges(0)), lit(cdf(0)))
+    for (i <- 1 until edges.length) {
+      val dc = cdf(i) - cdf(i - 1)
+      val de = edges(i) - edges(i - 1)
+      c = c.when(v < lit(edges(i)),
+        lit(cdf(i - 1)) + lit(dc) * (v - lit(edges(i - 1))) / lit(de))
+    }
+    c.otherwise(lit(cdf.last))
+  }
+
   def run(df: DataFrame): Evr = {
+    if (exact) return runExact(df)
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df.select(col(column).cast("double").as("v"))
@@ -1566,7 +1659,8 @@ final case class ExpectColumnBootstrappedKsTestPValueToBeGreaterThan(
     val n = rows.map(_._2).sum
     val cum = rows.scanLeft(0L) { case (acc, (_, c)) => acc + c }.tail
     val edges = binEdges.toArray
-    val cdfY = (0.0 +: binWeights.scanLeft(0.0)(_ + _).tail).toArray
+    val cdfY = ExpectColumnBootstrappedKsTestPValueToBeGreaterThan
+      .cdfOf(binWeights)
     def testCdf(x: Double): Double = {
       // np.interp semantics: clamp outside the bin range
       if (x <= edges.head) cdfY.head
@@ -1623,6 +1717,14 @@ final case class ExpectColumnBootstrappedKsTestPValueToBeGreaterThan(
           "bootstrap_sample_size" -> size,
           "element_count" -> n)))
   }
+}
+
+object ExpectColumnBootstrappedKsTestPValueToBeGreaterThan {
+  /** Partition CDF ordinates (0, w₀, w₀+w₁, …) — the ONE place the
+    * cumulative weights are folded, shared by the engine's interpolation
+    * chain and the oracle generator so both hold the identical doubles. */
+  def cdfOf(binWeights: Seq[Double]): Array[Double] =
+    (0.0 +: binWeights.scanLeft(0.0)(_ + _).tail).toArray
 }
 
 /** Cramér's φ (bias-uncorrected φc) between two columns

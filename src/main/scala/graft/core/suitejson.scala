@@ -428,6 +428,7 @@ object SuiteJson {
         kw.intOpt("bootstrap_sample_size").getOrElse(0),
         seed = kw.anyOpt("seed") // exact int64 read (dblOpt would round >2^53)
           .map(_.asInstanceOf[Number].longValue()).getOrElse(42L),
+        exact = kw.bool("exact", default = false),
         rowCondition = kw.rowCondition)
     case "expect_column_pair_cramers_phi_value_to_be_less_than" =>
       def binsOf(k: String): Option[Seq[Any]] =

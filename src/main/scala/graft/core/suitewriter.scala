@@ -270,7 +270,9 @@ object SuiteWriter {
           "weights" -> x.binWeights),
         "p" -> x.p, "bootstrap_samples" -> x.bootstrapSamples,
         "bootstrap_sample_size" -> x.bootstrapSampleSize,
-        "seed" -> x.seed) ++ rcKw(x.rowCondition): _*)
+        "seed" -> x.seed) ++
+        (if (x.exact) Seq("exact" -> true) else Nil) ++
+        rcKw(x.rowCondition): _*)
     case x: ExpectColumnPairCramersPhiValueToBeLessThan =>
       def binSlot(b: Seq[Any]): Seq[Any] = b.map {
         case s: Seq[_] => s.map(slot)

@@ -235,6 +235,25 @@ object StatsMath {
     else ksSfAsymptotic(d, n)
   }
 
+  /** Largest double d with ksSf(d, n) >= p — the per-sample decision
+    * `ksSf(d, n) >= p` is exactly `d <= ksCritical(n, p)` because the sf
+    * is non-increasing in d. Bisection to adjacent doubles (~60 halvings;
+    * 200 is a safe overshoot — extra iterations are no-ops once lo/hi are
+    * neighbors). The oracle-checked exact bootstrap compares against this
+    * ONE precomputed critical value on both engines instead of evaluating
+    * the libm-dependent survival function per sample. */
+  def ksCritical(n: Long, p: Double): Double = {
+    var lo = 0.0
+    var hi = 1.0
+    var i = 0
+    while (i < 200) {
+      val mid = (lo + hi) / 2
+      if (ksSf(mid, n) >= p) lo = mid else hi = mid
+      i += 1
+    }
+    lo
+  }
+
   /** Asymptotic two-sided sf: 2 Σ (-1)^{j-1} exp(-2 j² n d²). */
   def ksSfAsymptotic(d: Double, n: Long): Double = {
     val t = n * d * d

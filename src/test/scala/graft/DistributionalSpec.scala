@@ -75,4 +75,93 @@ class DistributionalSpec extends AnyFunSuite {
     assert(StatsMath.ksSfAsymptotic(math.sqrt(0.01 / n), n) >
       StatsMath.ksSfAsymptotic(math.sqrt(2.0 / n), n))
   }
+
+  test("ksCritical: d <= crit is exactly ksSf(d, n) >= p on a dense sweep") {
+    import graft.functions.StatsMath
+    for (n <- Seq(10L, 25L, 100L); p <- Seq(0.05, 0.1)) {
+      val crit = StatsMath.ksCritical(n, p)
+      assert(StatsMath.ksSf(crit, n) >= p)
+      // the adjacent double above the critical value must fail the test
+      assert(StatsMath.ksSf(Math.nextUp(crit), n) < p)
+      var d = 0.001
+      while (d < 0.9) {
+        assert((d <= crit) == (StatsMath.ksSf(d, n) >= p),
+          s"equivalence broke at d=$d n=$n p=$p crit=$crit")
+        d += 0.0013
+      }
+    }
+  }
+
+  test("exact bootstrapped KS == independent driver-side recomputation") {
+    import spark.implicits._
+    import graft.functions.StatsMath
+    // 30 distinct values with skewed counts across partitions
+    val data = (0 until 3000).map(i => ((i * i) % 30).toDouble)
+    val df = data.toDF("x").repartition(13)
+    val edges = Seq(0.0, 10.0, 30.0)
+    val weights = Seq(0.4, 0.6)
+    val (samples, size, seed, p) = (100, 20, 7L, 0.05)
+    val e = ExpectColumnBootstrappedKsTestPValueToBeGreaterThan(
+      "x", edges, weights, p = p, bootstrapSamples = samples,
+      bootstrapSampleSize = size, seed = seed, exact = true)
+    val evr = e.run(df)
+    assert(evr.exception.isEmpty, s"exact mode threw: ${evr.exception}")
+    val d1 = evr.result("details").asInstanceOf[Map[String, Any]]
+
+    // independent recomputation: same md5 draw formula, same IEEE op order
+    val hist = data.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val cum = hist.scanLeft(0L)(_ + _._2).tail
+    val cdf = ExpectColumnBootstrappedKsTestPValueToBeGreaterThan
+      .cdfOf(weights)
+    def interp(v: Double): Double =
+      if (v <= edges.head) cdf(0)
+      else {
+        val i = (1 until edges.size).find(i => v < edges(i))
+        i match {
+          case Some(i) =>
+            val dc = cdf(i) - cdf(i - 1)
+            val de = edges(i) - edges(i - 1)
+            cdf(i - 1) + dc * (v - edges(i - 1)) / de
+          case None => cdf.last
+        }
+      }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(s: Int, i: Int): Double = {
+      val hex = md.digest(s"$seed:$s:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val t = java.lang.Long.parseLong(hex, 16) % n
+      hist(cum.indexWhere(_ > t))._1
+    }
+    val crit = StatsMath.ksCritical(size.toLong, p)
+    var above = 0L
+    for (s <- 0 until samples) {
+      val sample = (0 until size).map(i => (draw(s, i), i)).sortBy(x => x)
+      var dMax = 0.0
+      for (((v, _), j) <- sample.zipWithIndex) {
+        val f = interp(v)
+        dMax = math.max(dMax, math.max(
+          (j + 1).toDouble / size.toDouble - f,
+          f - j.toDouble / size.toDouble))
+      }
+      if (dMax <= crit) above += 1
+    }
+    val expected = (1.0 + above) / (samples + 1).toDouble
+    assert(d1("n_above") == above, s"engine ${d1("n_above")} vs local $above")
+    assert(evr.result("observed_value") == expected) // bit-equal, not ≈
+    assert(d1("element_count") == n)
+    // determinism: an identical second run reproduces the result exactly
+    assert(e.run(df).result("observed_value") == expected)
+  }
+
+  test("exact bootstrapped KS: empty column and kwargs flag") {
+    import spark.implicits._
+    val e = ExpectColumnBootstrappedKsTestPValueToBeGreaterThan(
+      "x", Seq(0.0, 1.0), Seq(1.0), exact = true)
+    val evr = e.run(Seq.empty[Double].toDF("x"))
+    assert(!evr.success)
+    assert(evr.result("observed_value") == null)
+    assert(e.kwargs("exact") == true) // resolution mode recorded in kwargs
+  }
 }

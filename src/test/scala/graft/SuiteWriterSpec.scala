@@ -79,6 +79,9 @@ class SuiteWriterSpec extends AnyFunSuite {
     ExpectColumnBootstrappedKsTestPValueToBeGreaterThan("a",
       Seq(0.0, 1.0, 2.0), Seq(0.5, 0.5), p = 0.1, bootstrapSamples = 500,
       bootstrapSampleSize = 25, seed = 7L),
+    ExpectColumnBootstrappedKsTestPValueToBeGreaterThan("a",
+      Seq(0.0, 1.0, 2.0), Seq(0.5, 0.5), p = 0.1, bootstrapSamples = 100,
+      bootstrapSampleSize = 20, seed = 7L, exact = true),
     ExpectColumnPairCramersPhiValueToBeLessThan("a", "b",
       binsB = Some(Seq(Seq("p", "q"), Seq("r"))), nBinsA = Some(3),
       threshold = 0.2),
