@@ -46,7 +46,13 @@ object DedupScalingBench {
     val planted = base.unionByName(base.filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 500000L).as("doc_id"),
         concat(col("text"), lit(" extra tail words")).as("text")))
-    planted
+    // the sf documents table is ONE small parquet file → one input
+    // partition; without an explicit spread the explode+salt (and every
+    // map-side stage over the cached corpus) would run as a single task.
+    // Repartitioning the 5k base rows BEFORE the explode keeps the
+    // shuffle tiny (5k rows, not 10M) while giving every core replicas.
+    val par = spark.sparkContext.defaultParallelism * 3
+    planted.repartition(par, col("doc_id"))
       .withColumn("rep", explode(sequence(lit(0), lit(rep - 1))))
       .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
         regexp_replace(col("text"), lit("(\\S+)"),

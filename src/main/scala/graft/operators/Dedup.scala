@@ -426,6 +426,25 @@ object Dedup {
       .withColumnRenamed("__cid", idCol)
   }
 
+  /** Corpus boilerplate census: the `k` word n-gram shingles occurring in
+    * the most DOCUMENTS (shingles_native emits each document's distinct
+    * shingle set, so the count is document frequency, not term frequency).
+    * This is the measurement that tunes the stop-shingle / hot-bucket caps
+    * (Lsh.DefaultMaxDf): a deployment runs the census once per corpus and
+    * sets the cap above the legitimate-boilerplate knee instead of
+    * guessing. Ties break on the gram text so the top-k is deterministic.
+    *
+    * Scale shape: map-side explode feeding a partial-aggregated groupBy
+    * (the shuffle carries (gram, partial count), combined map-side), then
+    * a global top-k that Catalyst executes as TakeOrderedAndProject —
+    * per-partition heaps of size k, never a full sort. */
+  def ngramDocFreqTopK(df: DataFrame, textCol: String, n: Int = 3,
+      k: Int = 25): DataFrame =
+    df.select(explode(
+        graft.functions.MinHashSig.shingles_native(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("gram")).limit(k)
+
   /** Drop contaminated documents (see decontaminate): anti-join the
     * corpus on the contaminated-id set. `broadcastHint` governs BOTH the
     * shingle-dictionary join inside decontaminate and the id anti-join

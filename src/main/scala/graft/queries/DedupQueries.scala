@@ -12,8 +12,14 @@ import graft.operators.{Dedup, Similarity}
   * so the detectors have non-trivial positives to find. */
 object DedupQueries {
 
+  // the documents table is ONE small parquet file at every test SF → one
+  // scan partition, which would serialize every per-doc kernel (shingle,
+  // minhash, simhash) into a single task; the tiny hash shuffle spreads
+  // the corpus across cores. At deployment scale the table arrives
+  // already partitioned and this becomes a no-op choice.
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 

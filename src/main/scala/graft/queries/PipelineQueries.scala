@@ -12,8 +12,11 @@ import graft.operators.Dedup
   * same constants. */
 object PipelineQueries {
 
+  // single-file documents table → spread the scan so per-doc kernels
+  // parallelize (see DedupQueries.docs)
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
   private val normSql = graft.functions.TextFunctions.normTextSql("text")
 
@@ -204,6 +207,15 @@ object PipelineQueries {
         .orderBy("grp")
     }),
 
+    /** Corpus boilerplate census: top-25 3-gram shingles by DOCUMENT
+      * frequency — the measurement that tunes the stop-shingle /
+      * hot-bucket caps (Lsh.DefaultMaxDf) on a real corpus instead of a
+      * guess. Map-side explode → partial-agg groupBy → TakeOrdered
+      * (per-partition heaps, never a full sort); gram-text tie-break
+      * makes the top-k deterministic. */
+    "q93_ngram_census" -> ((s, dir) =>
+      Dedup.ngramDocFreqTopK(docs(s, dir), "text", n = 3, k = 25)),
+
     /** Shard-parallel sequence packing at a 512-word budget: seq_id from
       * the exclusive prefix sum within each source shard. */
     "q86_pack_sequences" -> ((s, dir) => {
@@ -259,6 +271,14 @@ GROUP BY 1"""
 
   val oracles: Map[String, String] = Map(
     "q73_decontaminate" -> decontaminateOracle,
+
+    "q93_ngram_census" ->
+      s"""WITH docs AS (SELECT * FROM documents),
+         |$shingleCtes,
+         |posting AS (SELECT doc_id, unnest(s) AS gram FROM sh)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM posting GROUP BY gram
+         |ORDER BY n_docs DESC, gram LIMIT 25""".stripMargin,
 
     "q74_repetition" ->
       s"""WITH docs AS (SELECT * FROM documents),

@@ -393,4 +393,23 @@ class DedupSpec extends AnyFunSuite {
     val keptHinted = Dedup.removeContaminated(corpus, benchmark, "doc_id", "text")
     assert(keptHinted.queryExecution.analyzed.toString.contains("ResolvedHint"))
   }
+
+  test("ngram census: document frequency, deterministic ties, heap top-k") {
+    val d = Seq(
+      // "a b c" appears in docs 1,2,3 (TWICE in doc 1 — must count once),
+      // "b c d" in docs 1,2, "x y z" in doc 4 only
+      (1L, "a b c d a b c"), (2L, "a b c d"), (3L, "a b c"),
+      (4L, "x y z"))
+      .toDF("doc_id", "text")
+    val top = Dedup.ngramDocFreqTopK(d, "text", n = 3, k = 3)
+    val rows = top.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.head == ("a b c", 3L)) // document frequency, not term freq
+    assert(rows(1) == ("b c d", 2L))
+    // ties at n_docs=1 break on gram text ascending — deterministic cut
+    assert(rows(2) == ("c d a", 1L))
+    // global top-k must be a TakeOrdered (per-partition heaps), never a
+    // full Sort+Exchange of the gram table
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no heap top-k:\n$plan")
+  }
 }
