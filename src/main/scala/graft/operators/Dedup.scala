@@ -80,20 +80,47 @@ object Dedup {
         .select("doc_a", "doc_b")
         .dropDuplicates("doc_a", "doc_b")
     }
-    // verification: join the (id, shingles) table back once per side; the
-    // intersection is aliased ONCE so Catalyst evaluates it once per pair
+    // Verification joins the (id, shingles) table back once per side —
+    // but ONLY for docs that appear in a candidate pair. Without the
+    // prefilter each join side shuffles the FULL corpus's shingle arrays
+    // (~text bytes × 2 sides) and evaluates the shingle kernel over every
+    // document, to verify what is typically a sub-percent candidate set;
+    // measured on a 10M-doc corpus that was 2× ~20 GB uncompressed
+    // shuffle + 2 full-corpus kernel passes. The candidate-id set is
+    // already materialized (localCheckpoint inside withCappedBuckets), so
+    // its size is known cheaply: small sets broadcast into a map-side
+    // semi-join (no shuffle of the shingle table at all); above the
+    // limit the semi-join shuffles only (id) pairs — never shingles.
+    // The filtered table is cached so the kernel runs once per candidate
+    // doc, and the verified pairs are pinned before the cache releases.
+    val candIds = cand.select(col("doc_a").as("__sid"))
+      .union(cand.select(col("doc_b").as("__sid"))).distinct()
+    val nCandIds = candIds.count()
+    val idsHinted =
+      if (nCandIds <= BroadcastIdLimit) broadcast(candIds) else candIds
     val sh = df.select(col(idCol).as("__sid"),
-      graft.functions.MinHashSig.shingles_native(col(textCol)).as("__sh"))
-    val verified = cand
-      .join(sh.select(col("__sid").as("doc_a"), col("__sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("__sid").as("doc_b"), col("__sh").as("sh_b")), "doc_b")
-      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
-      .withColumn("jaccard",
-        col("__i") / ((size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - col("__i")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        graft.functions.MinHashSig.shingles_native(col(textCol)).as("__sh"))
+      .join(idsHinted, Seq("__sid"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val verified = try {
+      cand
+        .join(sh.select(col("__sid").as("doc_a"), col("__sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("__sid").as("doc_b"), col("__sh").as("sh_b")), "doc_b")
+        .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+        .withColumn("jaccard",
+          col("__i") / ((size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - col("__i")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .localCheckpoint()
+    } finally sh.unpersist(blocking = true)
     (verified, stats)
   }
+
+  /** Candidate-id sets at or below this size are broadcast into the
+    * verification semi-join (ids are 8-byte longs: 4M ids ≈ 32 MB plain,
+    * comfortably under Spark's 8 GB broadcast ceiling); larger sets fall
+    * back to a shuffled semi-join that still carries only ids. */
+  val BroadcastIdLimit: Long = 4000000L
 
   /** Exact n-gram-Jaccard near-dup pairs WITHOUT MinHash: an inverted
     * index on shingles proposes candidates (docs sharing ≥1 shingle),
@@ -106,8 +133,6 @@ object Dedup {
     * full shingle sets join back once per verified side. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxDf: Int = Lsh.DefaultMaxDf): DataFrame = {
-    val sh = df.select(col(idCol).as("__sid"),
-      graft.functions.MinHashSig.shingles_native(col(textCol)).as("__sh"))
     // Inverted index on a 64-bit shingle hash (8 bytes/posting, never the
     // shingle text). xxhash64 suffices for CANDIDATE generation: a
     // collision can only add a false candidate pair, and exact Jaccard
@@ -139,14 +164,27 @@ object Dedup {
         .dropDuplicates("doc_a", "doc_b")
         .localCheckpoint()
     } finally posting.unpersist(blocking = true)
-    cand
-      .join(sh.select(col("__sid").as("doc_a"), col("__sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("__sid").as("doc_b"), col("__sh").as("sh_b")), "doc_b")
-      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
-      .withColumn("jaccard",
-        col("__i") / ((size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - col("__i")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // candidate-only verification — same shape as minhashLshPairs: the
+    // shingle kernel + join-back touch only docs that appear in a pair
+    val candIds = cand.select(col("doc_a").as("__sid"))
+      .union(cand.select(col("doc_b").as("__sid"))).distinct()
+    val idsHinted =
+      if (candIds.count() <= BroadcastIdLimit) broadcast(candIds) else candIds
+    val sh = df.select(col(idCol).as("__sid"),
+        graft.functions.MinHashSig.shingles_native(col(textCol)).as("__sh"))
+      .join(idsHinted, Seq("__sid"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      cand
+        .join(sh.select(col("__sid").as("doc_a"), col("__sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("__sid").as("doc_b"), col("__sh").as("sh_b")), "doc_b")
+        .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+        .withColumn("jaccard",
+          col("__i") / ((size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - col("__i")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .localCheckpoint()
+    } finally sh.unpersist(blocking = true)
   }
 
   /** The inverted-index posting projection ngramJaccardPairs caches:
