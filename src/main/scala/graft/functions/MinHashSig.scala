@@ -135,6 +135,7 @@ private[functions] object MinHashCore {
   }
 
   def shinglesArray(v: UTF8String, n: Int): GenericArrayData = {
+    MinHashSig.shingleCalls.increment()
     val text = if (v == null) "" else v.toString
     val set = shingleSet(text, n)
     val out = new Array[Any](set.size)
@@ -241,6 +242,9 @@ object MinHashSig {
     * pipeline evaluates the kernel once per document, not once per pass).
     * LongAdder: striped — no shared-cache-line CAS in the per-row path. */
   val bandsCalls = new java.util.concurrent.atomic.LongAdder
+  /** Test hook: per-row shingle-kernel invocations (DedupSpec asserts the
+    * verification stage touches only candidate docs, once each). */
+  val shingleCalls = new java.util.concurrent.atomic.LongAdder
   def minhash_sig(c: Column, k: Int): Column =
     Shims.toColumn(MinHashSig(Shims.toExpression(c), k))
   def minhash_bands(c: Column, k: Int, bands: Int): Column =

@@ -394,6 +394,25 @@ class DedupSpec extends AnyFunSuite {
     assert(keptHinted.queryExecution.analyzed.toString.contains("ResolvedHint"))
   }
 
+  test("verification evaluates shingles only for candidate docs, once each") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    // 20 filler docs with fully disjoint vocabularies: they share no
+    // shingle (hence no band key) with anything, so they never become
+    // candidates and their shingle sets must never be computed
+    val others = (10L until 30L).map(i =>
+      (i, s"u$i v$i w$i x$i y$i z$i p$i q$i r$i s$i " * 3))
+    val d = (Seq((1L, base), (2L, base + " tail")) ++ others)
+      .toDF("doc_id", "text").repartition(4)
+    graft.functions.MinHashSig.shingleCalls.reset()
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", 12, 4, 0.5)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+    val calls = graft.functions.MinHashSig.shingleCalls.sum()
+    assert(calls == 2,
+      s"shingle kernel ran $calls times — verification must evaluate only " +
+        "the 2 candidate docs' shingle sets (semi-join prefilter + cache)")
+  }
+
   test("ngram census: document frequency, deterministic ties, heap top-k") {
     val d = Seq(
       // "a b c" appears in docs 1,2,3 (TWICE in doc 1 — must count once),
