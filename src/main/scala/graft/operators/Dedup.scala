@@ -272,7 +272,31 @@ object Dedup {
     * so plan depth stays O(1), not O(iterations). Shuffles carry only
     * (id, label) pairs. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 10,
+      driverEdgeLimit: Long = DriverEdgeLimit): DataFrame = {
+    // Size-gated driver fast path: verified near-dup pair lists are tiny
+    // relative to the corpus they came from (sub-percent of docs pair up;
+    // 1M canonical edges ≈ 16 MB of ids), and every distributed round
+    // below costs join+groupBy+checkpoint latency regardless of size. At
+    // or below the gate, collect the DISTINCT canonical edge list once
+    // and union-find on the driver — the result comes back as a
+    // LocalRelation, which downstream keep-joins can broadcast without a
+    // shuffle. Above the gate (or with driverEdgeLimit = 0) the fully
+    // distributed min-label + star-contraction path runs unchanged, so
+    // scale behavior is never hostage to driver memory.
+    if (driverEdgeLimit > 0) {
+      val canon = pairs.select(least(col(aCol), col(bCol)).as("lo"),
+        greatest(col(aCol), col(bCol)).as("hi")).distinct()
+        .persist()
+      try {
+        // cap+1 guard: never pulls more than the gate allows
+        val sample = canon
+          .limit(math.min(driverEdgeLimit + 1, Int.MaxValue.toLong).toInt)
+          .collect()
+        if (sample.length <= driverEdgeLimit)
+          return ccDriver(pairs.sparkSession, canon.schema, sample)
+      } finally canon.unpersist()
+    }
     val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
@@ -314,6 +338,65 @@ object Dedup {
   }
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
+  /** Canonical-edge count at or below which connectedComponents collects
+    * the pair list and union-finds on the driver (1M edges ≈ 16 MB of
+    * long ids — far under any sane driver heap; the distributed path
+    * takes over above it). */
+  val DriverEdgeLimit: Long = 1000000L
+
+  /** Driver union-find over a collected canonical edge list: path-halving
+    * find + size-blind union, then per-component minimum (matching the
+    * distributed contract cluster = min reachable id; ids must be
+    * Comparable with Spark's natural ordering — numeric/ASCII ids, which
+    * is what every pair generator here emits). Returns a LocalRelation
+    * (id, cluster) that downstream joins can broadcast. */
+  private def ccDriver(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType, edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val idx = new java.util.HashMap[Any, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Any]()
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    def intern(v: Any): Int = {
+      val e = idx.get(v)
+      if (e != null) e.intValue()
+      else { idx.put(v, ids.length); ids += v; parent += ids.length - 1; ids.length - 1 }
+    }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { r =>
+      val a = find(intern(r.get(0)))
+      val b = find(intern(r.get(1)))
+      if (a != b) parent(a) = b
+    }
+    // per-component minimum id (the distributed contract)
+    val minOf = new java.util.HashMap[Integer, Any]()
+    var i = 0
+    while (i < ids.length) {
+      val root = find(i)
+      val cur = minOf.get(root)
+      if (cur == null ||
+          ids(i).asInstanceOf[Comparable[Any]].compareTo(cur) < 0)
+        minOf.put(root, ids(i))
+      i += 1
+    }
+    val idType = schema("lo").dataType
+    val outSchema = StructType(Seq(
+      StructField("id", idType, nullable = false),
+      StructField("cluster", idType, nullable = false)))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+    i = 0
+    while (i < ids.length) {
+      rows.add(org.apache.spark.sql.Row(ids(i), minOf.get(find(i))))
+      i += 1
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
 
   /** Connected components by alternating large-star/small-star contraction
     * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected

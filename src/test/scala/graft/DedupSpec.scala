@@ -212,23 +212,49 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
     // iteration cap no longer fails: a chain exceeding the min-label
     // budget falls back to star contraction and still converges
+    // (driverEdgeLimit = 0 forces the distributed path under test)
     val chain = Dedup.connectedComponents(
       (1L to 8L).sliding(2).map(s => (s.head, s(1))).toSeq
-        .toDF("doc_a", "doc_b"), "doc_a", "doc_b", maxIter = 1)
+        .toDF("doc_a", "doc_b"), "doc_a", "doc_b", maxIter = 1,
+      driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(chain == (1L to 8L).map(_ -> 1L).toMap)
   }
 
-  test("CC default path: diameter-100 chain converges via the auto-switch") {
-    // 101-node path, diameter 100: the DEFAULT call must not spin 50+
+  test("CC distributed path: diameter-100 chain converges via the auto-switch") {
+    // 101-node path, diameter 100: the distributed call must not spin 50+
     // min-label rounds — after the (default 10-round) budget it switches
     // to star contraction and still produces the exact min-id labeling
     val path = spark.range(1L, 101L)
       .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
-    val got = Dedup.connectedComponents(path, "doc_a", "doc_b")
+    val got = Dedup.connectedComponents(path, "doc_a", "doc_b",
+        driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 101)
     assert(got.values.forall(_ == 1L))
+    // and the default size-gated driver fast path agrees exactly
+    val gotDriver = Dedup.connectedComponents(path, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDriver == got)
+  }
+
+  test("CC driver gate: duplicate/reversed pairs, self-loops, string ids") {
+    // the gate counts DISTINCT canonical edges; duplicates and reversed
+    // copies collapse, self-loops register their vertex
+    val pairs = Seq((3L, 7L), (7L, 3L), (3L, 7L), (9L, 9L), (1L, 2L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 7L -> 3L, 9L -> 9L))
+    // non-numeric ids use the same natural ordering as the distributed min
+    val sp = Seq(("b", "c"), ("a", "b")).toDF("doc_a", "doc_b")
+    val gotS = Dedup.connectedComponents(sp, "doc_a", "doc_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val gotSDist = Dedup.connectedComponents(sp, "doc_a", "doc_b",
+        driverEdgeLimit = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gotS == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+    assert(gotS == gotSDist)
   }
 
   test("ngramJaccard posting table is (doc, 8-byte long hash) — never hex") {
