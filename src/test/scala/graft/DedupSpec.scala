@@ -439,6 +439,27 @@ class DedupSpec extends AnyFunSuite {
         "the 2 candidate docs' shingle sets (semi-join prefilter + cache)")
   }
 
+  test("DedupScalingBench corpus: replica salting isolates near-dup structure") {
+    // 2 replicas of sf0.001's 500 docs + 10 planted near-dups each: the
+    // per-word replica suffix must keep ALL near-dup pairs within a
+    // replica (no cross-replica shingle ⇒ no cross-replica band key ⇒ no
+    // rep-sized artificial clusters), while the planted pairs are found
+    // within each replica
+    val c = DedupScalingBench.corpus(spark, "/root/testdata/sf0.001", 2)
+    assert(c.count() == 2 * 510)
+    val pairs = Dedup.minhashLshPairs(c, "doc_id", "text")
+      .select(expr("doc_a DIV 1000000").as("rep_a"),
+        expr("doc_b DIV 1000000").as("rep_b"),
+        col("doc_a"), col("doc_b"))
+      .collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(0) == r.getLong(1)),
+      "cross-replica near-dup pair found — salting failed")
+    // planted (x, x+500000) dups surface within each replica
+    val planted = pairs.count(r => r.getLong(3) - r.getLong(2) == 500000L)
+    assert(planted >= 15, s"only $planted of 20 planted pairs found")
+  }
+
   test("ngram census: document frequency, deterministic ties, heap top-k") {
     val d = Seq(
       // "a b c" appears in docs 1,2,3 (TWICE in doc 1 — must count once),
