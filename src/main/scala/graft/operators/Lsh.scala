@@ -23,6 +23,37 @@ object Lsh {
   /** Default stop-shingle document-frequency cap (same rationale). */
   val DefaultMaxDf: Int = 10000
 
+  /** Derive the stop-shingle cap from a corpus census
+    * ([[Dedup.ngramDocFreqTopK]] output: (gram, n_docs) sorted by
+    * document frequency descending) instead of guessing: boilerplate
+    * shingles (headers, licenses, templates) sit orders of magnitude above
+    * the organic document-frequency tail, so the census shows a sharp
+    * knee. The cap is placed just below the largest consecutive DF ratio
+    * ≥ `minKneeRatio` — grams above the knee are pruned from candidate
+    * generation, everything below survives, and any pair at a meaningful
+    * Jaccard threshold shares many below-knee shingles, so recall is
+    * preserved (DedupSpec pins this on planted boilerplate). With no knee
+    * (no boilerplate in the top-k) the default cap stands. The census is
+    * a top-k result (≤ k rows), so the collect here is bounded. */
+  def tunedMaxDf(census: org.apache.spark.sql.DataFrame,
+      minKneeRatio: Double = 4.0): Int = {
+    val dfs = census.select("n_docs").collect().map(_.getLong(0))
+      .sorted(Ordering.Long.reverse)
+    var bestRatio = minKneeRatio
+    var cap = DefaultMaxDf
+    var i = 0
+    while (i + 1 < dfs.length) {
+      val hi = dfs(i).toDouble
+      val lo = math.max(dfs(i + 1), 1L).toDouble
+      if (hi / lo >= bestRatio) {
+        bestRatio = hi / lo
+        cap = dfs(i + 1).toInt // prune strictly-above: df > cap drops
+      }
+      i += 1
+    }
+    cap
+  }
+
   private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Lsh")
 
   /** Skew defense for banded LSH: a mass-duplicated boilerplate key would

@@ -257,15 +257,106 @@ class DedupSpec extends AnyFunSuite {
     assert(gotS == gotSDist)
   }
 
-  test("ngramJaccard posting table is (doc, 8-byte long hash) — never hex") {
-    val d = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
-    val posting = Dedup.shinglePostings(d, "doc_id", "text")
-    val hashField = posting.schema("sh_hash")
-    assert(hashField.dataType ==
-      org.apache.spark.sql.types.LongType,
-      s"posting hash must stay a 64-bit long (was ${hashField.dataType}) — " +
-        "a 32-char hex string multiplies the cached index ~4×")
-    assert(posting.schema.fields.length == 2)
+  test("ngramJaccard: fused count-verification — one posting shuffle, kernel once per doc") {
+    // round-6 shape: the posting table is hash-partitioned by shingle
+    // ONCE and the self-join reuses that single exchange — the shingle
+    // kernel must run exactly once per document and the plan must carry
+    // exactly one posting-side shuffle (plus the pair-aggregation one)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = d.count()
+    graft.functions.MinHashSig.shingleCalls.reset()
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.5,
+      maxDf = Int.MaxValue)
+    pairs.collect() // collect() executes THIS queryExecution (count() would plan its own)
+    val calls = graft.functions.MinHashSig.shingleCalls.sum()
+    assert(calls == n,
+      s"shingle kernel ran $calls times for $n docs — the posting " +
+        "self-join must reuse one exchange (rename ABOVE the repartition)")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+      plan.contains("reused"), s"no exchange reuse in plan:\n$plan")
+    // verification is fused: no array_intersect, no shingle-array join-back
+    assert(!plan.contains("array_intersect"),
+      "jaccard must come from the fused pair count, not array_intersect")
+  }
+
+  test("ngramJaccard fused jaccard ≡ array_intersect formulation, bit-for-bit") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .unionByName(Seq(
+        (9001L, ""), (9002L, "one two"), (9003L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("srcx"))
+        .withColumn("n_chars", lit(0L)))
+    val got = Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.1,
+      maxDf = Int.MaxValue)
+    // reference: the round-5 array_intersect verification, inline
+    val sh = d.select(col("doc_id"),
+      graft.functions.MinHashSig.shingles_native(col("text")).as("sh"))
+    val ref = sh.toDF("doc_a", "sh_a").crossJoin(sh.toDF("doc_b", "sh_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b")))
+        .cast(org.apache.spark.sql.types.DoubleType))
+      .filter(col("__i") > 0)
+      .withColumn("jaccard", col("__i") /
+        ((size(col("sh_a")) + size(col("sh_b")))
+          .cast(org.apache.spark.sql.types.DoubleType) - col("__i")))
+      .filter(col("jaccard") >= 0.1)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
+  test("CC driver gate: Long.MaxValue edge limit must not overflow limit()") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        driverEdgeLimit = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("CC driver gate: non-ASCII string ids order like the distributed min") {
+    // U+FFFF (BMP, 3-byte UTF-8) vs U+10000 (supplementary, surrogate pair
+    // in UTF-16, 4-byte UTF-8): UTF-16 code-unit order says ￿ >
+    // 𐀀, binary UTF-8 says the opposite — the driver path must
+    // use the UTF8String (binary) order the distributed min aggregate uses
+    val hi = "￿"         // U+FFFF
+    val supp = "𐀀" // U+10000
+    val pairs = Seq((hi, supp)).toDF("doc_a", "doc_b")
+    val d = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        driverEdgeLimit = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d == dist, s"driver $d != distributed $dist")
+    assert(d.values.toSet == Set(hi), // U+FFFF is SMALLER in binary UTF-8
+      s"representative must follow UTF8String order, got $d")
+  }
+
+  test("CC driver gate: struct ids fall through to the distributed path") {
+    val pairs = Seq(((1L, 2L), (3L, 4L)), ((3L, 4L), (5L, 6L)))
+      .toDF("doc_a", "doc_b")
+    // must not ClassCastException — the gate detects the non-orderable id
+    // type and runs distributed CC instead
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b").collect()
+    assert(got.length == 3)
+    val clusters = got.map(_.getStruct(1)).distinct
+    assert(clusters.length == 1 && clusters.head.getLong(0) == 1L)
+  }
+
+  test("CC: null endpoints never union; both paths agree") {
+    val pairs = Seq[(java.lang.Long, java.lang.Long)](
+      (null, 7L), (7L, 8L), (null, null))
+      .toDF("doc_a", "doc_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (if (r.isNullAt(0)) null else r.getLong(0)) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val d = toMap(Dedup.connectedComponents(pairs, "doc_a", "doc_b"))
+    val dist = toMap(Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+      driverEdgeLimit = 0))
+    assert(d == dist, s"driver $d != distributed $dist")
+    // (null, 7) canonicalizes to the self-loop (7,7): 7 and 8 still
+    // union; the null vertex is dropped by BOTH paths (the distributed
+    // label equi-joins never match null)
+    assert(d == Map(7L -> 7L, 8L -> 7L))
   }
 
   test("star-contraction CC: long path graph converges in O(log n) rounds") {
@@ -458,6 +549,32 @@ class DedupSpec extends AnyFunSuite {
     // planted (x, x+500000) dups surface within each replica
     val planted = pairs.count(r => r.getLong(3) - r.getLong(2) == 500000L)
     assert(planted >= 15, s"only $planted of 20 planted pairs found")
+  }
+
+  test("tunedMaxDf: census knee prunes planted boilerplate, recall preserved") {
+    import graft.operators.Lsh
+    // 60 docs share a boilerplate prefix (license-header analogue); one
+    // genuine near-dup pair has distinct content. The census must show the
+    // boilerplate knee, tunedMaxDf must land below it, and the tuned run
+    // must keep the true pair while dropping the boilerplate clique.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val boilerplate = "all rights reserved license header text " // 6 words → shared shingles
+    val docs = (100L until 160L).map(i =>
+      (i, boilerplate + s"unique$i content$i words$i here$i now$i more$i"))
+    val d = (Seq((1L, base), (2L, base + " tail")) ++ docs).toDF("doc_id", "text")
+    val census = Dedup.ngramDocFreqTopK(d, "text", n = 3, k = 25)
+    val cap = Lsh.tunedMaxDf(census)
+    // boilerplate shingles occur in 60 docs, organic ones in ≤2
+    assert(cap < 60 && cap >= 1, s"cap=$cap must sit below the 60-doc knee")
+    val tuned = Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.5, maxDf = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tuned.contains((1L, 2L)), "true near-dup pair must survive the tuned cap")
+    assert(!tuned.exists(p => p._1 >= 100L && p._2 >= 100L),
+      "boilerplate-only pairs must be pruned by the tuned cap")
+    // a knee-free census (uniform dfs) keeps the default cap
+    val flat = Seq(("a b c", 3L), ("b c d", 3L), ("c d e", 2L))
+      .toDF("gram", "n_docs")
+    assert(Lsh.tunedMaxDf(flat) == Lsh.DefaultMaxDf)
   }
 
   test("ngram census: document frequency, deterministic ties, heap top-k") {
