@@ -682,7 +682,12 @@ object Moments {
     // exact and the clamp is a no-op, but a user who opts into
     // exact_moments on non-integer data via suite JSON can see a tiny
     // negative from cancellation — clamping yields stddev 0.0 (a visible
-    // near-constant-column answer) instead of a silent NaN
+    // near-constant-column answer) instead of a silent NaN.
+    // ORACLE NOTE (round-5 advice): a straight SQL transcription of this
+    // form (sqrt of the raw exact-sum expression, as q77's oracle does)
+    // yields NaN where the clamp yields 0.0 — any NEW oracle over
+    // exactMoments stddev must either mirror greatest(0, var) or hold the
+    // integer-valued precondition, under which the two are identical
     when(n > lit(1.0),
       sqrt(greatest(lit(0.0),
         (sum(c * c) - sum(c) * sum(c) / n) / (n - lit(1.0)))))

@@ -157,11 +157,15 @@ object QualityFilter {
     * graft.streaming.StreamingValidate.roleSeqStateful instead). */
   def withRoleSeq(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-    val prevRole = lag(col("role"), 1).over(w)
+    // materialize lag(role) ONCE: referencing the window expression twice
+    // in roleSeqOk plants two identical lag frames in the WindowExec
+    // (visible as _we0/_we1 in the plan) — the named column keeps it to one
+    val withPrev = df.withColumn("__prev_role", lag(col("role"), 1).over(w))
     val roleSeqOk = col("role").isin(AllowedRoles: _*) &&
       (col("turn_idx") =!= 0 || col("role") === "system") &&
-      (prevRole.isNull || col("role") =!= prevRole || col("role") === "tool")
-    df.withColumn("role_seq_ok", roleSeqOk)
+      (col("__prev_role").isNull || col("role") =!= col("__prev_role") ||
+        col("role") === "tool")
+    withPrev.withColumn("role_seq_ok", roleSeqOk).drop("__prev_role")
   }
 
   private def withKeep(df: DataFrame): DataFrame =
