@@ -499,9 +499,17 @@ object Dedup {
     def minTo(sym: DataFrame): DataFrame =
       sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
 
+    // Each star step hash-partitions the symmetrized edge list by u ONCE:
+    // the min-neighbor aggregation and the re-attachment join both
+    // require exactly that clustering, so the round runs with a single
+    // edge shuffle (+ the output distinct) instead of re-exchanging for
+    // the groupBy and again for the join — and the two consumers read one
+    // ReusedExchange. At scale a star round is two such steps, so this
+    // halves the per-round exchange count of the high-diameter CC path.
     def largeStar(ed: DataFrame): DataFrame = {
       val sym = ed.select(col("lo").as("u"), col("hi").as("v"))
         .union(ed.select(col("hi").as("u"), col("lo").as("v")))
+        .repartition(col("u"))
       sym.join(minTo(sym), "u")
         .filter(col("v") > col("u"))
         .select(col("m").as("lo"), col("v").as("hi"))
@@ -510,6 +518,7 @@ object Dedup {
     def smallStar(ed: DataFrame): DataFrame = {
       val sym = ed.select(col("lo").as("u"), col("hi").as("v"))
         .union(ed.select(col("hi").as("u"), col("lo").as("v")))
+        .repartition(col("u"))
       val m = minTo(sym)
       val reattach = sym.join(m, "u")
         .filter(col("v") <= col("u"))
